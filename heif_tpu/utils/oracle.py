@@ -1,0 +1,223 @@
+"""Golden-reference decoders via ctypes: libde265 (raw HEVC) and libheif.
+
+This is the differential-testing oracle mandated by the reference's own test
+strategy (tests/libheif_comparison.rs uses libheif as ground truth; see
+SURVEY.md §4). Used by tests and the verify CLI — never by the decode path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+from typing import Optional
+
+import numpy as np
+
+_DE265_PATH = "libde265.so.0"
+_HEIF_PATH = "libheif.so.1"
+
+
+# ---------------------------------------------------------------------------
+# libde265: decode a raw Annex-B HEVC stream to YUV planes
+# ---------------------------------------------------------------------------
+
+
+class _De265:
+    _lib = None
+
+    @classmethod
+    def lib(cls):
+        if cls._lib is None:
+            lib = ctypes.CDLL(_DE265_PATH)
+            lib.de265_new_decoder.restype = ctypes.c_void_p
+            lib.de265_push_data.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
+            lib.de265_decode.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.de265_get_next_picture.restype = ctypes.c_void_p
+            lib.de265_get_next_picture.argtypes = [ctypes.c_void_p]
+            lib.de265_get_image_width.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.de265_get_image_height.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.de265_get_image_plane.restype = ctypes.POINTER(ctypes.c_uint8)
+            lib.de265_get_image_plane.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.de265_flush_data.argtypes = [ctypes.c_void_p]
+            lib.de265_free_decoder.argtypes = [ctypes.c_void_p]
+            lib.de265_release_next_picture.argtypes = [ctypes.c_void_p]
+            cls._lib = lib
+        return cls._lib
+
+
+def decode_hevc_annexb(stream: bytes) -> list[np.ndarray]:
+    """Decode an Annex-B HEVC stream; returns [Y, Cb, Cr] uint8 planes."""
+    lib = _De265.lib()
+    ctx = lib.de265_new_decoder()
+    if not ctx:
+        raise RuntimeError("de265_new_decoder failed")
+    try:
+        err = lib.de265_push_data(ctx, stream, len(stream), 0, None)
+        if err != 0:
+            raise RuntimeError(f"de265_push_data error {err}")
+        lib.de265_flush_data(ctx)
+        planes: Optional[list[np.ndarray]] = None
+        for _ in range(1000):
+            more = ctypes.c_int(1)
+            lib.de265_decode(ctx, ctypes.byref(more))
+            img = lib.de265_get_next_picture(ctx)
+            if img:
+                planes = []
+                for ch in range(3):
+                    w = lib.de265_get_image_width(img, ch)
+                    h = lib.de265_get_image_height(img, ch)
+                    stride = ctypes.c_int(0)
+                    ptr = lib.de265_get_image_plane(img, ch, ctypes.byref(stride))
+                    buf = np.ctypeslib.as_array(ptr, shape=(h, stride.value))
+                    planes.append(buf[:, :w].copy())
+                lib.de265_release_next_picture(ctx)
+                break
+            if not more.value:
+                break
+        if planes is None:
+            raise RuntimeError("libde265 produced no picture")
+        return planes
+    finally:
+        lib.de265_free_decoder(ctx)
+
+
+def decode_tile_nals(
+    parameter_set_nals: list[bytes], slice_nals: list[bytes]
+) -> list[np.ndarray]:
+    """Golden YUV for one HEIF tile: hvcC parameter sets + slice NALs."""
+    out = b""
+    for nal in parameter_set_nals + slice_nals:
+        out += b"\x00\x00\x00\x01" + nal
+    return decode_hevc_annexb(out)
+
+
+# ---------------------------------------------------------------------------
+# libheif: decode a full .heic container to YUV planes
+# ---------------------------------------------------------------------------
+
+
+class _HeifError(ctypes.Structure):
+    _fields_ = [
+        ("code", ctypes.c_int),
+        ("subcode", ctypes.c_int),
+        ("message", ctypes.c_char_p),
+    ]
+
+
+class _Heif:
+    _lib = None
+
+    @classmethod
+    def lib(cls):
+        if cls._lib is None:
+            lib = ctypes.CDLL(_HEIF_PATH)
+            lib.heif_context_alloc.restype = ctypes.c_void_p
+            lib.heif_context_read_from_memory_without_copy.restype = _HeifError
+            lib.heif_context_read_from_memory_without_copy.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.c_void_p,
+            ]
+            lib.heif_context_get_primary_image_handle.restype = _HeifError
+            lib.heif_context_get_primary_image_handle.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_void_p),
+            ]
+            lib.heif_decode_image.restype = _HeifError
+            lib.heif_decode_image.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_void_p,
+            ]
+            lib.heif_image_get_plane_readonly.restype = ctypes.POINTER(
+                ctypes.c_uint8
+            )
+            lib.heif_image_get_plane_readonly.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.heif_image_get_width.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.heif_image_get_height.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.heif_image_handle_get_width.argtypes = [ctypes.c_void_p]
+            lib.heif_image_handle_get_height.argtypes = [ctypes.c_void_p]
+            lib.heif_decoding_options_alloc.restype = ctypes.c_void_p
+            lib.heif_context_free.argtypes = [ctypes.c_void_p]
+            lib.heif_image_handle_release.argtypes = [ctypes.c_void_p]
+            lib.heif_image_release.argtypes = [ctypes.c_void_p]
+            lib.heif_decoding_options_free.argtypes = [ctypes.c_void_p]
+            cls._lib = lib
+        return cls._lib
+
+
+_HEIF_COLORSPACE_YCBCR = 0
+_HEIF_CHROMA_420 = 1
+_HEIF_CHANNEL = {"Y": 0, "Cb": 1, "Cr": 2}
+
+
+def decode_heic(
+    data: bytes, ignore_transformations: bool = False
+) -> dict[str, np.ndarray]:
+    """Decode the primary image of a .heic with libheif → YCbCr planes.
+
+    With ignore_transformations=True, returns the pre-irot/crop image
+    (the natural comparison point for the stitched grid before display
+    transforms).
+    """
+    lib = _Heif.lib()
+    ctx = lib.heif_context_alloc()
+    handle = ctypes.c_void_p()
+    img = ctypes.c_void_p()
+    opts = None
+    try:
+        err = lib.heif_context_read_from_memory_without_copy(
+            ctx, data, len(data), None
+        )
+        if err.code != 0:
+            raise RuntimeError(f"libheif read: {err.message!r}")
+        err = lib.heif_context_get_primary_image_handle(ctx, ctypes.byref(handle))
+        if err.code != 0:
+            raise RuntimeError(f"libheif primary handle: {err.message!r}")
+        opts = lib.heif_decoding_options_alloc()
+        if ignore_transformations:
+            # struct heif_decoding_options { uint8_t version; uint8_t
+            # ignore_transformations; ... } — v1 layout, stable prefix.
+            ctypes.cast(opts, ctypes.POINTER(ctypes.c_uint8))[1] = 1
+        err = lib.heif_decode_image(
+            handle, ctypes.byref(img), _HEIF_COLORSPACE_YCBCR, _HEIF_CHROMA_420, opts
+        )
+        if err.code != 0:
+            raise RuntimeError(f"libheif decode: {err.message!r}")
+        planes = {}
+        for name, ch in _HEIF_CHANNEL.items():
+            w = lib.heif_image_get_width(img, ch)
+            h = lib.heif_image_get_height(img, ch)
+            stride = ctypes.c_int(0)
+            ptr = lib.heif_image_get_plane_readonly(img, ch, ctypes.byref(stride))
+            buf = np.ctypeslib.as_array(ptr, shape=(h, stride.value))
+            planes[name] = buf[:, :w].copy()
+        return planes
+    finally:
+        if img:
+            lib.heif_image_release(img)
+        if opts:
+            lib.heif_decoding_options_free(opts)
+        if handle:
+            lib.heif_image_handle_release(handle)
+        lib.heif_context_free(ctx)
