@@ -108,12 +108,18 @@ class TileSyntaxDecoder:
         self.engine = CabacEngine(self.rbsp, *self.substreams[0])
         self._wpp_snapshot = None
 
-        # QP prediction state (§8.6.1)
+        # QP prediction state (§8.6.1). QP is tracked per quantization
+        # group: the final CuQpDeltaVal applies to every CU of the QG
+        # (including CUs parsed before the delta-carrying TU), so qp_map
+        # is written when a QG closes, not per CU.
         self.last_cu_qp = self.slice_qp_y  # qPY_PREV
         self.is_cu_qp_delta_coded = False
         self.cu_qp_delta_val = 0
         self.qg_x = 0
         self.qg_y = 0
+        self.qg_log2 = self.ctb_log2
+        self.qg_pred = self.slice_qp_y
+        self.qg_open = False
 
         # per-CU transient state
         self.cu_bypass = False
@@ -158,6 +164,8 @@ class TileSyntaxDecoder:
                     eng.restore_contexts(self._wpp_snapshot)
                 else:
                     eng.init_contexts(self.slice_qp_y)
+                # close the previous row's open QG, then reset qPY_PREV
+                self._finalize_qg()
                 self.last_cu_qp = self.slice_qp_y  # qPY_PREV reset (§8.6.1)
             self._decode_ctu(x, y)
             if wpp and x == 1:
@@ -174,6 +182,7 @@ class TileSyntaxDecoder:
                     raise DecodeError(
                         f"end_of_subset_one_bit==0 at row {y} end — desync"
                     )
+        self._finalize_qg()
         return self._finish()
 
     def _finish(self) -> T.SyntaxTensors:
@@ -263,13 +272,29 @@ class TileSyntaxDecoder:
     # ------------------------------------------------------------------
 
     def _coding_quadtree(self, x0: int, y0: int, log2_size: int, depth: int) -> None:
-        if (
-            self.pps.cu_qp_delta_enabled_flag
-            and log2_size >= self.log2_min_cu_qp_delta
-        ):
+        is_qg = (
+            log2_size >= self.log2_min_cu_qp_delta
+            if self.pps.cu_qp_delta_enabled_flag
+            else depth == 0
+        )
+        if is_qg:
+            # A nested >=threshold node supersedes its parent's reset (the
+            # effective QG is the smallest such node); only a node OUTSIDE
+            # the open QG closes it.
+            if self.qg_open:
+                qg_size = 1 << self.qg_log2
+                nested = (
+                    self.qg_x <= x0 < self.qg_x + qg_size
+                    and self.qg_y <= y0 < self.qg_y + qg_size
+                )
+                if not nested:
+                    self._finalize_qg()
             self.is_cu_qp_delta_coded = False
             self.cu_qp_delta_val = 0
             self.qg_x, self.qg_y = x0, y0
+            self.qg_log2 = log2_size
+            self.qg_pred = self._predict_qp()
+            self.qg_open = True
 
         right_in = x0 + (1 << log2_size) <= self.W
         bottom_in = y0 + (1 << log2_size) <= self.H
@@ -338,7 +363,6 @@ class TileSyntaxDecoder:
             pcm_flag = bool(eng.decode_terminate())
         if pcm_flag:
             self._decode_pcm(x0, y0, log2_size)
-            self._set_cu_qp(x0, y0, size)
             return
 
         # luma intra modes: all prev flags first, then per-PU mode data
@@ -379,19 +403,26 @@ class TileSyntaxDecoder:
         self._max_trafo_depth = max_depth
         self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0, True, True)
 
-        self._set_cu_qp(x0, y0, size)
-
         # CU boundary edges for deblocking
         self.vert_edges[g4y : g4y + s4, g4x] = True
         self.horiz_edges[g4y, g4x : g4x + s4] = True
 
-    def _set_cu_qp(self, x0: int, y0: int, size: int) -> None:
-        """QpY derivation (§8.6.1) using the current CuQpDeltaVal."""
-        qp_pred = self._predict_qp()
-        qp = ((qp_pred + self.cu_qp_delta_val + 52) % 52)  # 8-bit: QpBdOffsetY=0
-        g4x, g4y, s4 = x0 >> 2, y0 >> 2, size >> 2
-        self.qp_map[g4y : g4y + s4, g4x : g4x + s4] = qp
+    def _finalize_qg(self) -> None:
+        """Close the current quantization group: its final QpY (with the
+        decoded delta) covers the whole QG area (8-bit: QpBdOffsetY=0)."""
+        if not self.qg_open:
+            return
+        qp = (self.qg_pred + self.cu_qp_delta_val + 52) % 52
+        size = 1 << self.qg_log2
+        g4x, g4y = self.qg_x >> 2, self.qg_y >> 2
+        s4w = min(size, self.W - self.qg_x) >> 2
+        s4h = min(size, self.H - self.qg_y) >> 2
+        self.qp_map[g4y : g4y + s4h, g4x : g4x + s4w] = qp
         self.last_cu_qp = qp
+        self.qg_open = False
+
+    def _current_qp_y(self) -> int:
+        return (self.qg_pred + self.cu_qp_delta_val + 52) % 52
 
     def _predict_qp(self) -> int:
         """qPY_PRED = (qPY_A + qPY_B + 1) >> 1 (§8.6.1): neighbors used only
@@ -616,7 +647,7 @@ class TileSyntaxDecoder:
                 self._decode_cu_qp_delta()
 
         # current QG luma QP (for dequant)
-        qp_y = (self._predict_qp() + self.cu_qp_delta_val + 52) % 52
+        qp_y = self._current_qp_y()
         qp_prime_y = qp_y  # 8-bit: QpBdOffsetY == 0
 
         # luma TU

@@ -2,16 +2,20 @@
 
 Parity target: reference src/heic/decoder.rs:12-131 (container parse →
 hvcC → VPS/SPS/PPS → grid dispatch → per-tile slice decode), extended with
-the full reconstruction stack the reference stubs out, executed on TPU.
+the full reconstruction stack the reference stubs out
+(src/hevc/slice.rs:249-255).
 
-This module is filled in as the stack comes up; at minimum it exposes the
-metadata pipeline (config 0 of BASELINE.md).
+Two reconstruction backends share the SyntaxTensors contract:
+  - "ref": numpy host reference (bit-exact oracle twin)
+  - "jax": TPU pipeline (heif_tpu.ops.jax_recon), default when available
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from typing import Optional
+
+import numpy as np
 
 from heif_tpu.container import grammar as g
 from heif_tpu.container.reader import HeifReader, parse_grid_config
@@ -92,3 +96,124 @@ class HeicDecoder:
             primary_item_id=primary,
             thumbnail_count=len(thumbs),
         )
+
+    # ------------------------------------------------------------------
+    # Full pixel decode
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def decode(
+        data: bytes,
+        backend: str = "ref",
+        apply_rotation: bool = True,
+        item_id: Optional[int] = None,
+    ) -> dict:
+        """Decode the primary (or given) image item to YCbCr planes.
+
+        Returns {"Y": ..., "Cb": ..., "Cr": ...} uint8 arrays plus "info".
+        backend: "ref" (numpy host reference) or "jax" (TPU pipeline).
+        """
+        from heif_tpu.hevc import params
+        from heif_tpu.hevc import slice as sl
+        from heif_tpu.hevc.rbsp import remove_emulation_prevention
+        from heif_tpu.cabac.syntax import TileSyntaxDecoder
+
+        reader = HeifReader(data)
+        heif = reader.read()
+        info = HeicDecoder.probe(data)
+        target = item_id if item_id is not None else info.primary_item_id
+        tgt_info = heif.item_info_by_item_id(target)
+        if tgt_info is None:
+            raise ValueError(f"item {target} not present in container")
+
+        rec = heif.hevc_configuration_record(target)
+        if rec is None:
+            raise ValueError("no hvcC record")
+        sps = params.parse_sps(
+            remove_emulation_prevention(rec.nal_units_of_type(33)[0][2:])
+        )
+        pps = params.parse_pps(
+            remove_emulation_prevention(rec.nal_units_of_type(34)[0][2:])
+        )
+        length_size = rec.length_size_minus_one + 1
+
+        if tgt_info.item_type == g.ItemType.GRID:
+            grid = parse_grid_config(reader.get_item_data(target))
+            tile_ids = heif.item_ids_referencing(target, "dimg")
+        else:
+            grid = g.GridConfig(
+                rows=1,
+                columns=1,
+                output_width=sps.pic_width_in_luma_samples,
+                output_height=sps.pic_height_in_luma_samples,
+            )
+            tile_ids = [target]
+
+        # entropy-decode every tile (host)
+        syntaxes = []
+        slices = []
+        for tid in tile_ids:
+            nals = sl.split_length_prefixed_nals(
+                reader.get_item_data(tid), length_size
+            )
+            ps = sl.parse_slice_header(nals[0], sps, pps)
+            syntaxes.append(TileSyntaxDecoder(sps, pps, ps).decode())
+            slices.append(ps)
+
+        # reconstruct (per backend)
+        if backend == "ref":
+            from heif_tpu.ops.ref_recon import reconstruct_tile
+
+            tiles = [
+                reconstruct_tile(st, sps, pps, ps.header)
+                for st, ps in zip(syntaxes, slices)
+            ]
+        elif backend == "jax":
+            from heif_tpu.ops.jax_recon import reconstruct_tiles_batched
+
+            tiles = reconstruct_tiles_batched(syntaxes, sps, pps, slices)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+        planes = HeicDecoder._stitch(
+            tiles, grid, sps, apply_rotation, info.rotation
+        )
+        planes["info"] = info
+        return planes
+
+    @staticmethod
+    def _stitch(tiles, grid, sps, apply_rotation: bool, angle: int) -> dict:
+        """Assemble decoded tiles into the output canvas, crop to the grid
+        output size, and apply irot (CCW multiples of 90 degrees)."""
+        tw = sps.pic_width_in_luma_samples
+        th = sps.pic_height_in_luma_samples
+        canvas_w, canvas_h = grid.columns * tw, grid.rows * th
+        y = np.zeros((canvas_h, canvas_w), dtype=np.uint8)
+        cb = np.zeros((canvas_h >> 1, canvas_w >> 1), dtype=np.uint8)
+        cr = np.zeros((canvas_h >> 1, canvas_w >> 1), dtype=np.uint8)
+        for i, t in enumerate(tiles):
+            r, c = divmod(i, grid.columns)
+            y[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = t[0]
+            cb[r * (th >> 1) : (r + 1) * (th >> 1), c * (tw >> 1) : (c + 1) * (tw >> 1)] = t[1]
+            cr[r * (th >> 1) : (r + 1) * (th >> 1), c * (tw >> 1) : (c + 1) * (tw >> 1)] = t[2]
+        y = y[: grid.output_height, : grid.output_width]
+        cb = cb[: grid.output_height >> 1, : grid.output_width >> 1]
+        cr = cr[: grid.output_height >> 1, : grid.output_width >> 1]
+        if apply_rotation and angle:
+            y = np.rot90(y, k=angle).copy()
+            cb = np.rot90(cb, k=angle).copy()
+            cr = np.rot90(cr, k=angle).copy()
+        return {"Y": y, "Cb": cb, "Cr": cr}
+
+    @staticmethod
+    def to_rgb(planes: dict) -> "np.ndarray":
+        """YCbCr (BT.601 full-range) -> uint8 RGB HxWx3 for preview/export."""
+        y = planes["Y"].astype(np.float32)
+        cb = planes["Cb"].astype(np.float32) - 128.0
+        cr = planes["Cr"].astype(np.float32) - 128.0
+        cb = np.repeat(np.repeat(cb, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+        cr = np.repeat(np.repeat(cr, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+        r = y + 1.402 * cr
+        gch = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        return np.clip(np.stack([r, gch, b], axis=-1), 0, 255).astype(np.uint8)

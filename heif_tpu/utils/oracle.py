@@ -104,6 +104,60 @@ def decode_tile_nals(
     return decode_hevc_annexb(out)
 
 
+def decode_heic_via_de265(data: bytes) -> dict[str, np.ndarray]:
+    """Golden full-image decode: parse the container ourselves, decode every
+    grid tile with single-threaded libde265, stitch, and crop.
+
+    This is the pixel-exactness oracle. NOTE: libheif's own full decode
+    (decode_heic below) enables libde265 worker threads, whose WPP path
+    deviates from the single-threaded decode by ± up-to-10 on ~1% of
+    samples (deterministically) on this system's libde265 1.0.4/libheif
+    1.15.1. Single-threaded libde265 output is the conformant one — it is
+    independently reproduced bit-exactly by heif_tpu's own spec
+    implementation; use decode_heic only for metadata/approximate checks.
+    """
+    from heif_tpu.container.reader import HeifReader, parse_grid_config
+
+    r = HeifReader(data)
+    heif = r.read()
+    primary = heif.primary_item_id()
+    rec = heif.hevc_configuration_record()
+    ps_nals = [rec.nal_units_of_type(t)[0] for t in (32, 33, 34)]
+    grid = parse_grid_config(r.get_item_data(primary))
+    tile_ids = heif.item_ids_referencing(primary, "dimg")
+    ls = rec.length_size_minus_one + 1
+    tiles = []
+    for tid in tile_ids:
+        payload = r.get_item_data(tid)
+        nals = []
+        pos = 0
+        while pos < len(payload):
+            ln = int.from_bytes(payload[pos : pos + ls], "big")
+            nals.append(payload[pos + ls : pos + ls + ln])
+            pos += ls + ln
+        tiles.append(decode_tile_nals(ps_nals, nals))
+    th, tw = tiles[0][0].shape
+    canvas = {
+        "Y": np.zeros((grid.rows * th, grid.columns * tw), dtype=np.uint8),
+        "Cb": np.zeros((grid.rows * th // 2, grid.columns * tw // 2), dtype=np.uint8),
+        "Cr": np.zeros((grid.rows * th // 2, grid.columns * tw // 2), dtype=np.uint8),
+    }
+    for i, t in enumerate(tiles):
+        rr, cc = divmod(i, grid.columns)
+        canvas["Y"][rr * th : (rr + 1) * th, cc * tw : (cc + 1) * tw] = t[0]
+        canvas["Cb"][
+            rr * th // 2 : (rr + 1) * th // 2, cc * tw // 2 : (cc + 1) * tw // 2
+        ] = t[1]
+        canvas["Cr"][
+            rr * th // 2 : (rr + 1) * th // 2, cc * tw // 2 : (cc + 1) * tw // 2
+        ] = t[2]
+    return {
+        "Y": canvas["Y"][: grid.output_height, : grid.output_width],
+        "Cb": canvas["Cb"][: grid.output_height >> 1, : grid.output_width >> 1],
+        "Cr": canvas["Cr"][: grid.output_height >> 1, : grid.output_width >> 1],
+    }
+
+
 # ---------------------------------------------------------------------------
 # libheif: decode a full .heic container to YUV planes
 # ---------------------------------------------------------------------------
