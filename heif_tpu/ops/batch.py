@@ -1,0 +1,356 @@
+"""Batched multi-tile reconstruction: one jitted program for N tiles.
+
+Layout strategy (TPU-first):
+- transform classes are flattened ACROSS tiles: each (component, size)
+  class becomes one dense [Ntotal, s, s] batch -> two int32 matmuls,
+  scattered into per-tile residual planes by precomputed flat indices.
+- the three component scans are vmapped over the tile axis: each scan
+  step processes all N tiles' k-th TU simultaneously (VPU-wide).
+- deblock/SAO vectorized passes are vmapped over tiles.
+
+All shapes are static given (n_tiles, per-component scan lengths,
+per-class totals); jit caches per shape signature.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from heif_tpu.ops import jax_recon as J
+from heif_tpu.ops import pack as P
+
+PAD = J.PAD
+
+# fixed class list: (comp, size)
+CLASSES = [
+    (0, 4), (0, 8), (0, 16), (0, 32),
+    (1, 4), (1, 8), (1, 16),
+    (2, 4), (2, 8), (2, 16),
+]
+
+
+@dataclass
+class BatchPlan:
+    n: int
+    width: int
+    height: int
+    # per class: dict keyed by (comp,size)
+    tc_coeffs: dict
+    tc_qp: dict
+    tc_dst: dict
+    tc_skip: dict
+    tc_bypass: dict
+    tc_flat: dict  # flat scatter indices into [N*(h+PAD)*(w+PAD)]
+    scaling: dict
+    # scans: per comp tuple of [N, S, ...] arrays
+    xs: list
+    pcm: list  # per comp [N, h+PAD, w+PAD] int32 (or None)
+    # loop filter meta, stacked [N, ...]
+    qp_map: np.ndarray
+    nf_map: np.ndarray
+    vert_edges: np.ndarray
+    horiz_edges: np.ndarray
+    sao: np.ndarray
+    deblock_disabled: bool
+    sao_luma: bool
+    sao_chroma: bool
+    beta_off: int
+    tc_off: int
+    cb_qp_off: int
+    cr_qp_off: int
+    strong_smoothing: bool
+
+
+def pack_batch(syntaxes, sps, pps, slices) -> BatchPlan:
+    """Pack N tiles (same SPS/PPS geometry) into one BatchPlan."""
+    # shared per-component scan lengths
+    counts = [[0, 0, 0] for _ in syntaxes]
+    for i, st in enumerate(syntaxes):
+        for row in st.tu_table:
+            counts[i][int(row[0])] += 1
+    n_steps = [max(c[k] for c in counts) for k in range(3)]
+    n_steps = [max(1, -(-s // 64) * 64) for s in n_steps]
+
+    plans = [
+        P.pack_tile(st, sps, pps, ps.header, n_steps=n_steps)
+        for st, ps in zip(syntaxes, slices)
+    ]
+    n = len(plans)
+    H, W = plans[0].height, plans[0].width
+    Hc, Wc = H // 2, W // 2
+
+    tc_coeffs, tc_qp, tc_dst, tc_skip, tc_bypass, tc_flat = (
+        {}, {}, {}, {}, {}, {},
+    )
+    for comp, size in CLASSES:
+        blocks, qps, dsts, skips, byps, flats = [], [], [], [], [], []
+        h = H if comp == 0 else Hc
+        w = W if comp == 0 else Wc
+        stride = (h + PAD) * (w + PAD)
+        for ti, plan in enumerate(plans):
+            for tc in plan.tclasses:
+                if tc.comp == comp and tc.size == size:
+                    blocks.append(tc.coeffs)
+                    qps.append(tc.qp)
+                    dsts.append(tc.dst)
+                    skips.append(tc.skip)
+                    byps.append(tc.bypass)
+                    oy = tc.pos[:, 0][:, None, None]
+                    ox = tc.pos[:, 1][:, None, None]
+                    iy = np.arange(size)[None, :, None]
+                    ix = np.arange(size)[None, None, :]
+                    flats.append(
+                        ti * stride + (oy + iy) * (w + PAD) + (ox + ix)
+                    )
+        if blocks:
+            tc_coeffs[(comp, size)] = np.concatenate(blocks)
+            tc_qp[(comp, size)] = np.concatenate(qps)
+            tc_dst[(comp, size)] = np.concatenate(dsts)
+            tc_skip[(comp, size)] = np.concatenate(skips)
+            tc_bypass[(comp, size)] = np.concatenate(byps)
+            tc_flat[(comp, size)] = np.concatenate(flats).reshape(-1)
+
+    xs = []
+    for c in range(3):
+        fields = []
+        for name in ("x", "y", "size", "mode", "filter_flag", "pcm", "src_y", "src_x"):
+            fields.append(np.stack([getattr(p.comp_plans[c], name) for p in plans]))
+        xs.append(tuple(fields))
+
+    pcm = []
+    any_pcm = any(p.pcm_planes and p.pcm_planes[0].any() for p in plans)
+    for c in range(3):
+        h = H if c == 0 else Hc
+        w = W if c == 0 else Wc
+        if any_pcm:
+            arr = np.zeros((n, h + PAD, w + PAD), dtype=np.int32)
+            for i, p in enumerate(plans):
+                arr[i, :h, :w] = p.pcm_planes[c]
+            pcm.append(arr)
+        else:
+            pcm.append(None)
+
+    p0 = plans[0]
+    return BatchPlan(
+        n=n,
+        width=W,
+        height=H,
+        tc_coeffs=tc_coeffs,
+        tc_qp=tc_qp,
+        tc_dst=tc_dst,
+        tc_skip=tc_skip,
+        tc_bypass=tc_bypass,
+        tc_flat=tc_flat,
+        scaling=p0.scaling,
+        xs=xs,
+        pcm=pcm,
+        qp_map=np.stack([p.qp_map for p in plans]),
+        nf_map=np.stack([p.nf_map for p in plans]),
+        vert_edges=np.stack([p.vert_edges for p in plans]),
+        horiz_edges=np.stack([p.horiz_edges for p in plans]),
+        sao=np.stack([p.sao for p in plans]).astype(np.int32),
+        deblock_disabled=p0.deblock_disabled,
+        sao_luma=p0.sao_luma,
+        sao_chroma=p0.sao_chroma,
+        beta_off=p0.beta_off,
+        tc_off=p0.tc_off,
+        cb_qp_off=p0.cb_qp_off,
+        cr_qp_off=p0.cr_qp_off,
+        strong_smoothing=bool(sps.strong_intra_smoothing_enabled_flag),
+    )
+
+
+# --------------------------------------------------------------------------
+# jitted core
+# --------------------------------------------------------------------------
+
+
+def _core(
+    tc_arrays,  # dict (comp,size) -> (coeffs, qp, dst, skip, bypass, flat)
+    scaling,  # dict (size, comp) -> matrix
+    xs,  # list of 3 tuples of [N, S, ...]
+    pcm,  # list of 3 ([N,h+PAD,w+PAD] or None)
+    qp_map, nf_map, vert_edges, horiz_edges, sao,
+    *,
+    n, H, W, deblock_disabled, sao_luma, sao_chroma,
+    beta_off, tc_off, cb_qp_off, cr_qp_off, strong_smoothing,
+):
+    Hc, Wc = H // 2, W // 2
+    dims = [(H, W), (Hc, Wc), (Hc, Wc)]
+
+    # ---- stage 1: residuals ----
+    res_flat = [
+        jnp.zeros((n * (h + PAD) * (w + PAD),), jnp.int32) for h, w in dims
+    ]
+    for (comp, size), (coeffs, qp, dst, skip, bypass, flat) in tc_arrays.items():
+        r = J.residual_class(
+            coeffs, qp, dst, skip, bypass, scaling[(size, comp)], size
+        )
+        res_flat[comp] = res_flat[comp].at[flat].add(r.reshape(-1))
+    res = [
+        res_flat[c].reshape(n, dims[c][0] + PAD, dims[c][1] + PAD)
+        for c in range(3)
+    ]
+
+    # ---- stage 2: intra scans (vmapped over tiles) ----
+    planes = []
+    for c in range(3):
+        h, w = dims[c]
+        pcm_c = (
+            pcm[c]
+            if pcm[c] is not None
+            else jnp.zeros((n, h + PAD, w + PAD), jnp.int32)
+        )
+        plane0 = jnp.zeros((n, h + PAD, w + PAD), jnp.int32)
+        scan_fn = partial(
+            J.intra_scan_component,
+            is_luma=(c == 0),
+            strong_smoothing=strong_smoothing,
+            height=h + PAD,
+            width=w + PAD,
+        )
+        plane = jax.vmap(scan_fn)(plane0, res[c], pcm_c, xs[c])
+        planes.append(plane[:, :h, :w])
+
+    # ---- stage 3: deblock ----
+    if not deblock_disabled:
+        ne = W // 8 - 1
+        cols = 2 * jnp.arange(ne) + 2
+        lv = jax.vmap(
+            partial(J._deblock_luma_pass, beta_off=beta_off, tc_off=tc_off)
+        )
+        y = lv(
+            planes[0],
+            vert_edges[:, :, cols],
+            qp_map[:, :, cols - 1],
+            qp_map[:, :, cols],
+            nf_map[:, :, cols - 1],
+            nf_map[:, :, cols],
+        )
+        qT = jnp.swapaxes(qp_map, 1, 2)
+        nT = jnp.swapaxes(nf_map, 1, 2)
+        hT = jnp.swapaxes(horiz_edges, 1, 2)
+        y = jnp.swapaxes(
+            lv(
+                jnp.swapaxes(y, 1, 2),
+                hT[:, :, cols],
+                qT[:, :, cols - 1],
+                qT[:, :, cols],
+                nT[:, :, cols - 1],
+                nT[:, :, cols],
+            ),
+            1, 2,
+        )
+        planes[0] = y
+
+        nec = Wc // 8 - 1
+        ccols = 4 * jnp.arange(nec) + 4
+        cv = jax.vmap(partial(J._deblock_chroma_pass, tc_off=tc_off))
+        for ci, c_off in ((1, cb_qp_off), (2, cr_qp_off)):
+            qp_avg = (qp_map[:, :, ccols - 1] + qp_map[:, :, ccols] + 1) >> 1
+            qpc = J._CHROMA_QP_LUT[jnp.clip(qp_avg + c_off, 0, 57)]
+            p = cv(
+                planes[ci],
+                vert_edges[:, :, ccols],
+                qpc,
+                nf_map[:, :, ccols - 1],
+                nf_map[:, :, ccols],
+            )
+            qp_avgT = (qT[:, :, ccols - 1] + qT[:, :, ccols] + 1) >> 1
+            qpcT = J._CHROMA_QP_LUT[jnp.clip(qp_avgT + c_off, 0, 57)]
+            p = jnp.swapaxes(
+                cv(
+                    jnp.swapaxes(p, 1, 2),
+                    hT[:, :, ccols],
+                    qpcT,
+                    nT[:, :, ccols - 1],
+                    nT[:, :, ccols],
+                ),
+                1, 2,
+            )
+            planes[ci] = p
+
+    # ---- stage 4: SAO ----
+    if sao_luma or sao_chroma:
+        sv = jax.vmap(J.sao_component)
+        out = []
+        for c in range(3):
+            enabled = sao_luma if c == 0 else sao_chroma
+            if not enabled:
+                out.append(planes[c])
+                continue
+            sub = 1 if c == 0 else 2
+            cs = 32 // sub
+            h, w = dims[c]
+
+            def rep(a):
+                return jnp.repeat(jnp.repeat(a, cs, 1), cs, 2)[:, :h, :w]
+
+            stype = rep(sao[:, :, :, c, 0])
+            sclass = rep(sao[:, :, :, c, 1])
+            offs = jnp.stack(
+                [rep(sao[:, :, :, c, 2 + i]) for i in range(4)], axis=-1
+            )
+            nf_pix = jnp.repeat(jnp.repeat(nf_map, 4 // sub, 1), 4 // sub, 2)[
+                :, :h, :w
+            ]
+            out.append(sv(planes[c], stype, sclass, offs, nf_pix))
+        planes = out
+
+    return [p.astype(jnp.uint8) for p in planes]
+
+
+_core_jit = jax.jit(
+    _core,
+    static_argnames=(
+        "n", "H", "W", "deblock_disabled", "sao_luma", "sao_chroma",
+        "beta_off", "tc_off", "cb_qp_off", "cr_qp_off", "strong_smoothing",
+    ),
+)
+
+
+def reconstruct_batch(bp: BatchPlan) -> list:
+    """Run the jitted batched pipeline; returns [N, H, W]-style planes as
+    a list [Y, Cb, Cr] of numpy arrays."""
+    tc_arrays = {
+        k: (
+            jnp.asarray(bp.tc_coeffs[k]),
+            jnp.asarray(bp.tc_qp[k]),
+            jnp.asarray(bp.tc_dst[k]),
+            jnp.asarray(bp.tc_skip[k]),
+            jnp.asarray(bp.tc_bypass[k]),
+            jnp.asarray(bp.tc_flat[k]),
+        )
+        for k in bp.tc_coeffs
+    }
+    scaling = {k: jnp.asarray(v) for k, v in bp.scaling.items()}
+    xs = [tuple(jnp.asarray(a) for a in t) for t in bp.xs]
+    pcm = [None if p is None else jnp.asarray(p) for p in bp.pcm]
+    planes = _core_jit(
+        tc_arrays,
+        scaling,
+        xs,
+        pcm,
+        jnp.asarray(bp.qp_map),
+        jnp.asarray(bp.nf_map),
+        jnp.asarray(bp.vert_edges),
+        jnp.asarray(bp.horiz_edges),
+        jnp.asarray(bp.sao),
+        n=bp.n,
+        H=bp.height,
+        W=bp.width,
+        deblock_disabled=bp.deblock_disabled,
+        sao_luma=bp.sao_luma,
+        sao_chroma=bp.sao_chroma,
+        beta_off=bp.beta_off,
+        tc_off=bp.tc_off,
+        cb_qp_off=bp.cb_qp_off,
+        cr_qp_off=bp.cr_qp_off,
+        strong_smoothing=bp.strong_smoothing,
+    )
+    return [np.asarray(p) for p in planes]

@@ -1,0 +1,268 @@
+"""Host-side packing: SyntaxTensors -> device-ready tensors (DecodePlan).
+
+The TPU reconstruction pipeline (ops.jax_recon) is fully static: every
+data-dependent decision that does NOT depend on reconstructed sample values
+is resolved here on host, at pack time:
+
+- per-TU reference-sample SOURCE COORDINATES: availability (z-scan order,
+  picture bounds) and the §8.4.4.2.2 substitution scan collapse into one
+  absolute (y, x) source per reference position (-1 -> constant 1<<(bd-1)).
+  The device just gathers from the current reconstruction plane.
+- transform-class grouping: cbf TUs bucketed by (component, size) so the
+  inverse transforms run as dense batched matmuls on the MXU.
+- deblock edge/bs/QP/no-filter maps at segment granularity.
+
+Value-dependent logic (reference smoothing output, strong-filter
+decisions, SAO classification) stays on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from heif_tpu.cabac import types as T
+from heif_tpu.hevc import grammar as g
+from heif_tpu.ops.ref_recon import z_order_plane
+from heif_tpu.ops.tables import INTRA_FILTER_THRES, scaling_factor_matrix
+
+MAX_TU = 32  # max transform size
+REF_LEN = 2 * MAX_TU + 1  # corner + 2N samples per side at N=32
+
+# per-component TU scan arrays (SoA layout), padded to a fixed count
+PRED_FIELDS = ("x", "y", "size", "mode", "filter", "pcm")
+
+
+@dataclass
+class ComponentPlan:
+    """Per-component intra-pred scan plan (padded to n_steps)."""
+
+    n_real: int
+    x: np.ndarray  # [n] int32, component coords
+    y: np.ndarray
+    size: np.ndarray  # [n] int32 (4..32); 0 => no-op pad step
+    mode: np.ndarray  # [n] int32 intra mode
+    filter_flag: np.ndarray  # [n] int32 (luma ref smoothing eligible)
+    pcm: np.ndarray  # [n] int32
+    # reference source coords into the component plane: [n, 2, REF_LEN]
+    # axis1: 0=left (corner, p[-1][0..2N-1]), 1=top (corner, p[0..2N-1][-1])
+    src_y: np.ndarray  # int32, -1 => constant 128
+    src_x: np.ndarray
+
+
+@dataclass
+class TransformClass:
+    """One (component, size) batch of cbf transforms."""
+
+    comp: int
+    size: int
+    n: int
+    coeffs: np.ndarray  # [n, size, size] int32 (quantized levels)
+    qp: np.ndarray  # [n]
+    dst: np.ndarray  # [n] bool (4x4 luma intra)
+    skip: np.ndarray  # [n] transform_skip
+    bypass: np.ndarray  # [n] transquant bypass
+    pos: np.ndarray  # [n, 2] (y, x) component coords
+
+
+@dataclass
+class DecodePlan:
+    width: int
+    height: int
+    comp_plans: list[ComponentPlan] = field(default_factory=list)
+    tclasses: list[TransformClass] = field(default_factory=list)
+    scaling: dict = field(default_factory=dict)  # (size, matrix_id) -> [s,s]
+    pcm_planes: list[np.ndarray] = field(default_factory=list)
+    # deblock metadata
+    qp_map: np.ndarray = None  # [h/4, w/4] int32
+    nf_map: np.ndarray = None  # [h/4, w/4] bool
+    vert_edges: np.ndarray = None
+    horiz_edges: np.ndarray = None
+    sao: np.ndarray = None
+    deblock_disabled: bool = False
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    beta_off: int = 0
+    tc_off: int = 0
+    cb_qp_off: int = 0
+    cr_qp_off: int = 0
+
+
+def _ref_sources(
+    z4: np.ndarray,
+    W: int,
+    H: int,
+    comp: int,
+    x0: int,
+    y0: int,
+    size: int,
+    luma_origin: tuple[int, int],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Availability + substitution resolved to absolute source coords.
+
+    Returns (src_y, src_x) of shape [2, REF_LEN]: row 0 = left side
+    (corner, p[-1][0], ..., p[-1][2N-1]), row 1 = top side (corner,
+    p[0][-1], ..., p[2N-1][-1]); unused tail (beyond 2*size) padded -1.
+    Semantics mirror ops.ref_recon.IntraPredictor.reference_samples.
+    """
+    sub = 1 if comp == 0 else 2
+    z_cur = z4[luma_origin[1] >> 2, luma_origin[0] >> 2]
+    n2 = 2 * size
+    comp_w = W // sub
+    comp_h = H // sub
+
+    def available(cx, cy):
+        lx, ly = cx * sub, cy * sub
+        if lx < 0 or ly < 0 or lx >= W or ly >= H:
+            return False
+        return z4[ly >> 2, lx >> 2] < z_cur
+
+    # ordered walk: p[-1][2N-1] .. p[-1][-1], then p[0][-1] .. p[2N-1][-1]
+    coords = [(x0 - 1, y0 + i) for i in range(n2 - 1, -2, -1)]
+    coords += [(x0 + i, y0 - 1) for i in range(n2)]
+    avail = [available(cx, cy) for cx, cy in coords]
+    srcs: list[tuple[int, int] | None] = [None] * len(coords)
+    if any(avail):
+        if avail[0]:
+            srcs[0] = coords[0]
+        else:
+            first = avail.index(True)
+            srcs[0] = coords[first]
+        for i in range(1, len(coords)):
+            srcs[i] = coords[i] if avail[i] else srcs[i - 1]
+    out_y = np.full((2, REF_LEN), -1, dtype=np.int32)
+    out_x = np.full((2, REF_LEN), -1, dtype=np.int32)
+
+    def put(side, idx, src):
+        if src is not None:
+            out_x[side, idx] = src[0]
+            out_y[side, idx] = src[1]
+
+    corner = srcs[n2]
+    put(0, 0, corner)
+    put(1, 0, corner)
+    for i in range(n2):  # left: p[-1][i] = walk index n2-1-i
+        put(0, 1 + i, srcs[n2 - 1 - i])
+    for i in range(n2):  # top: p[i][-1] = walk index n2+1+i
+        put(1, 1 + i, srcs[n2 + 1 + i])
+    return out_y, out_x
+
+
+def _luma_filter_flag(size: int, mode: int) -> bool:
+    if mode == 1 or size == 4:
+        return False
+    if mode == 0:
+        return True
+    min_dist = min(abs(mode - 26), abs(mode - 10))
+    return min_dist > INTRA_FILTER_THRES[size]
+
+
+def pack_tile(
+    st: T.SyntaxTensors,
+    sps: g.SequenceParameterSet,
+    pps: g.PictureParameterSet,
+    sh: g.SliceSegmentHeader,
+    n_steps: list[int] | None = None,
+) -> DecodePlan:
+    """Build the DecodePlan for one tile.
+
+    n_steps: optional per-component padded scan lengths (for batching
+    tiles into one jitted program).
+    """
+    plan = DecodePlan(width=st.width, height=st.height)
+    z4 = z_order_plane(st.width, st.height, sps.ctb_log2_size_y)
+
+    # ---- per-component pred plans ----
+    rows_by_comp = [[], [], []]
+    for row in st.tu_table:
+        rows_by_comp[int(row[T.TU_COMP])].append(row)
+    for c in range(3):
+        rows = rows_by_comp[c]
+        n_real = len(rows)
+        n = n_steps[c] if n_steps else n_real
+        assert n >= n_real
+        cp = ComponentPlan(
+            n_real=n_real,
+            x=np.zeros(n, dtype=np.int32),
+            y=np.zeros(n, dtype=np.int32),
+            size=np.zeros(n, dtype=np.int32),
+            mode=np.zeros(n, dtype=np.int32),
+            filter_flag=np.zeros(n, dtype=np.int32),
+            pcm=np.zeros(n, dtype=np.int32),
+            src_y=np.full((n, 2, REF_LEN), -1, dtype=np.int32),
+            src_x=np.full((n, 2, REF_LEN), -1, dtype=np.int32),
+        )
+        sub = 1 if c == 0 else 2
+        for i, row in enumerate(rows):
+            x, y = int(row[T.TU_X]), int(row[T.TU_Y])
+            size = 1 << int(row[T.TU_LOG2])
+            mode = int(row[T.TU_PRED_MODE])
+            cp.x[i] = x
+            cp.y[i] = y
+            cp.size[i] = size
+            cp.mode[i] = mode
+            cp.pcm[i] = int(row[T.TU_PCM])
+            cp.filter_flag[i] = int(c == 0 and _luma_filter_flag(size, mode))
+            sy, sx = _ref_sources(
+                z4, st.width, st.height, c, x, y, size, (x * sub, y * sub)
+            )
+            cp.src_y[i] = sy
+            cp.src_x[i] = sx
+        plan.comp_plans.append(cp)
+
+    # ---- transform classes ----
+    groups: dict[tuple[int, int], list] = {}
+    for row in st.tu_table:
+        if not row[T.TU_CBF] or row[T.TU_PCM]:
+            continue
+        c = int(row[T.TU_COMP])
+        size = 1 << int(row[T.TU_LOG2])
+        groups.setdefault((c, size), []).append(row)
+    for (c, size), rows in sorted(groups.items()):
+        n = len(rows)
+        tc = TransformClass(
+            comp=c,
+            size=size,
+            n=n,
+            coeffs=np.zeros((n, size, size), dtype=np.int32),
+            qp=np.zeros(n, dtype=np.int32),
+            dst=np.zeros(n, dtype=bool),
+            skip=np.zeros(n, dtype=bool),
+            bypass=np.zeros(n, dtype=bool),
+            pos=np.zeros((n, 2), dtype=np.int32),
+        )
+        for i, row in enumerate(rows):
+            x, y = int(row[T.TU_X]), int(row[T.TU_Y])
+            tc.coeffs[i] = st.coeffs[c][y : y + size, x : x + size]
+            tc.qp[i] = int(row[T.TU_QP])
+            tc.dst[i] = c == 0 and size == 4
+            tc.skip[i] = bool(row[T.TU_SKIP])
+            tc.bypass[i] = bool(row[T.TU_BYPASS])
+            tc.pos[i] = (y, x)
+        plan.tclasses.append(tc)
+
+    # scaling factor matrices in effect
+    lists = sps.effective_scaling_lists()
+    for size in (4, 8, 16, 32):
+        for mid in range(3):
+            plan.scaling[(size, mid)] = scaling_factor_matrix(size, mid, lists)
+
+    # ---- loop filter metadata ----
+    plan.qp_map = st.qp_y.astype(np.int32)
+    nf = st.bypass_map.copy()
+    if sps.pcm_enabled_flag and sps.pcm_loop_filter_disabled_flag:
+        nf |= st.pcm_map
+    plan.nf_map = nf
+    plan.vert_edges = st.vert_edges
+    plan.horiz_edges = st.horiz_edges
+    plan.sao = st.sao
+    plan.deblock_disabled = sh.slice_deblocking_filter_disabled_flag
+    plan.sao_luma = sh.slice_sao_luma_flag
+    plan.sao_chroma = sh.slice_sao_chroma_flag
+    plan.beta_off = sh.slice_beta_offset_div2 * 2
+    plan.tc_off = sh.slice_tc_offset_div2 * 2
+    plan.cb_qp_off = pps.pps_cb_qp_offset
+    plan.cr_qp_off = pps.pps_cr_qp_offset
+    plan.pcm_planes = [p.astype(np.int32) for p in st.pcm_planes]
+    return plan
