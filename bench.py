@@ -1,0 +1,102 @@
+"""End-to-end decode benchmark: halfmoonbay.heic (12.2 MP, 48 tiles).
+
+Pipeline measured: container parse -> native C++ entropy decode (threaded)
+-> host pack -> jitted TPU batched reconstruction -> stitch. Prints ONE
+JSON line: megapixels/s end-to-end. vs_baseline is null — the reference
+publishes no performance numbers (BASELINE.md).
+
+Run on whatever platform JAX selects (TPU under the driver; CPU works too).
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import numpy as np
+
+    from heif_tpu.container.reader import HeifReader, parse_grid_config
+    from heif_tpu.hevc import params
+    from heif_tpu.hevc import slice as sl
+    from heif_tpu.hevc.rbsp import remove_emulation_prevention
+    from heif_tpu import native
+    from heif_tpu.ops.batch import pack_batch, reconstruct_batch
+
+    data = open("tests/assets/halfmoonbay.heic", "rb").read()
+
+    def decode_once():
+        r = HeifReader(data)
+        heif = r.read()
+        rec = heif.hevc_configuration_record()
+        sps = params.parse_sps(
+            remove_emulation_prevention(rec.nal_units_of_type(33)[0][2:])
+        )
+        pps = params.parse_pps(
+            remove_emulation_prevention(rec.nal_units_of_type(34)[0][2:])
+        )
+        primary = heif.primary_item_id()
+        grid = parse_grid_config(r.get_item_data(primary))
+        tile_ids = heif.item_ids_referencing(primary, "dimg")
+        t0 = time.perf_counter()
+        slices = [
+            sl.parse_slice_header(
+                sl.split_length_prefixed_nals(r.get_item_data(t), 4)[0],
+                sps, pps,
+            )
+            for t in tile_ids
+        ]
+        if native.available():
+            syntaxes = native.decode_tiles_parallel(sps, pps, slices)
+        else:
+            from heif_tpu.cabac.syntax import TileSyntaxDecoder
+
+            syntaxes = [TileSyntaxDecoder(sps, pps, p).decode() for p in slices]
+        t1 = time.perf_counter()
+        bp = pack_batch(syntaxes, sps, pps, slices)
+        t2 = time.perf_counter()
+        planes = reconstruct_batch(bp)
+        t3 = time.perf_counter()
+        # stitch + crop (host)
+        th = tw = 512
+        y = (
+            planes[0]
+            .reshape(grid.rows, grid.columns, th, tw)
+            .transpose(0, 2, 1, 3)
+            .reshape(grid.rows * th, grid.columns * tw)
+        )[: grid.output_height, : grid.output_width]
+        t4 = time.perf_counter()
+        return y, (t1 - t0, t2 - t1, t3 - t2, t4 - t3)
+
+    # warmup (jit compile)
+    y, _ = decode_once()
+    mp = (y.shape[0] * y.shape[1]) / 1e6
+
+    times = []
+    breakdowns = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y, bd = decode_once()
+        times.append(time.perf_counter() - t0)
+        breakdowns.append(bd)
+    best = min(times)
+    bd = breakdowns[times.index(best)]
+    print(
+        f"# best {best:.3f}s  entropy {bd[0]:.3f}s pack {bd[1]:.3f}s "
+        f"recon {bd[2]:.3f}s stitch {bd[3]:.3f}s  ({mp:.1f} MP)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_heif_decode_throughput",
+                "value": round(mp / best, 3),
+                "unit": "megapixels/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -149,16 +149,22 @@ class HeicDecoder:
             )
             tile_ids = [target]
 
-        # entropy-decode every tile (host)
-        syntaxes = []
+        # entropy-decode every tile (host; native C++ path when available,
+        # Python oracle otherwise)
         slices = []
         for tid in tile_ids:
             nals = sl.split_length_prefixed_nals(
                 reader.get_item_data(tid), length_size
             )
-            ps = sl.parse_slice_header(nals[0], sps, pps)
-            syntaxes.append(TileSyntaxDecoder(sps, pps, ps).decode())
-            slices.append(ps)
+            slices.append(sl.parse_slice_header(nals[0], sps, pps))
+        from heif_tpu import native
+
+        if native.available():
+            syntaxes = native.decode_tiles_parallel(sps, pps, slices)
+        else:
+            syntaxes = [
+                TileSyntaxDecoder(sps, pps, ps).decode() for ps in slices
+            ]
 
         # reconstruct (per backend)
         if backend == "ref":

@@ -118,7 +118,7 @@ def pack_batch(syntaxes, sps, pps, slices) -> BatchPlan:
     xs = []
     for c in range(3):
         fields = []
-        for name in ("x", "y", "size", "mode", "filter_flag", "pcm", "src_y", "src_x"):
+        for name in ("x", "y", "size", "mode", "filter_flag", "pcm", "src"):
             fields.append(np.stack([getattr(p.comp_plans[c], name) for p in plans]))
         xs.append(tuple(fields))
 
@@ -206,16 +206,14 @@ def _core(
             if pcm[c] is not None
             else jnp.zeros((n, h + PAD, w + PAD), jnp.int32)
         )
-        plane0 = jnp.zeros((n, h + PAD, w + PAD), jnp.int32)
+        plane0 = jnp.zeros((n, 1 + h + J.SPAD, 1 + w + J.SPAD), jnp.int32)
         scan_fn = partial(
             J.intra_scan_component,
             is_luma=(c == 0),
             strong_smoothing=strong_smoothing,
-            height=h + PAD,
-            width=w + PAD,
         )
         plane = jax.vmap(scan_fn)(plane0, res[c], pcm_c, xs[c])
-        planes.append(plane[:, :h, :w])
+        planes.append(plane[:, 1 : 1 + h, 1 : 1 + w])
 
     # ---- stage 3: deblock ----
     if not deblock_disabled:
@@ -253,7 +251,7 @@ def _core(
         cv = jax.vmap(partial(J._deblock_chroma_pass, tc_off=tc_off))
         for ci, c_off in ((1, cb_qp_off), (2, cr_qp_off)):
             qp_avg = (qp_map[:, :, ccols - 1] + qp_map[:, :, ccols] + 1) >> 1
-            qpc = J._CHROMA_QP_LUT[jnp.clip(qp_avg + c_off, 0, 57)]
+            qpc = J._onehot_take(J._CHROMA_QP_LUT, jnp.clip(qp_avg + c_off, 0, 57), 58)
             p = cv(
                 planes[ci],
                 vert_edges[:, :, ccols],
@@ -262,7 +260,7 @@ def _core(
                 nf_map[:, :, ccols],
             )
             qp_avgT = (qT[:, :, ccols - 1] + qT[:, :, ccols] + 1) >> 1
-            qpcT = J._CHROMA_QP_LUT[jnp.clip(qp_avgT + c_off, 0, 57)]
+            qpcT = J._onehot_take(J._CHROMA_QP_LUT, jnp.clip(qp_avgT + c_off, 0, 57), 58)
             p = jnp.swapaxes(
                 cv(
                     jnp.swapaxes(p, 1, 2),

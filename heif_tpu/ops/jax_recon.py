@@ -36,7 +36,10 @@ from heif_tpu.cabac.syntax import chroma_qp_from_luma
 
 MAX_S = P.MAX_TU  # 32
 REF_LEN = P.REF_LEN  # 65
-PAD = MAX_S  # plane padding on bottom/right
+PAD = MAX_S  # residual-plane padding on bottom/right
+SPAD = 2 * MAX_S  # recon-plane padding (reference strips reach 2N ahead)
+# recon planes carry a 1-sample top/left border (origin shift +1) so the
+# reference strips at (y0-1, x0-1) never need clamping
 
 # ---- static tables (device constants) ----
 
@@ -71,8 +74,95 @@ _TC = jnp.asarray(TC_TABLE)
 _LEVEL_SCALE = jnp.asarray(LEVEL_SCALE)
 
 
+# --------------------------------------------------------------------------
+# Linear intra-prediction weights.
+#
+# Planar, DC and angular prediction are all linear maps of the reference
+# vector followed by one rounding shift:  pred = (W @ refvec + bias) >> sh,
+# refvec = concat(left[65], top[65]) post-smoothing. Folding the 35 modes x
+# 4 sizes into static int8 weight tensors turns the per-TU prediction into
+# a single batched matvec — the variable-index interpolation gathers that
+# dominate a naive formulation lower terribly on TPU. The few nonlinear
+# fix-ups (DC boundary smoothing, mode 10/26 edge compensation) stay as
+# masked vector ops.
+# --------------------------------------------------------------------------
+
+
+def _build_pred_weights():
+    n_ref = 2 * REF_LEN  # 130
+    W = np.zeros((35, 4, MAX_S * MAX_S, n_ref), dtype=np.int8)
+    bias = np.zeros((35, 4), dtype=np.int32)
+    shift = np.zeros((35, 4), dtype=np.int32)
+    inv_idx = _build_inv_idx()
+    for si, s in enumerate((4, 8, 16, 32)):
+        log2 = s.bit_length() - 1
+        ys, xs_ = np.mgrid[0:s, 0:s]
+        flat = (ys * MAX_S + xs_).ravel()
+        # planar (mode 0)
+        w = W[0, si]
+        for y in range(s):
+            for x in range(s):
+                r = y * MAX_S + x
+                w[r, 1 + y] += s - 1 - x          # left[1+y] = p[-1][y]
+                w[r, REF_LEN + 1 + x] += s - 1 - y  # top[1+x] = p[x][-1]
+                w[r, REF_LEN + s + 1] += x + 1     # p[nTbS][-1]
+                w[r, s + 1] += y + 1               # p[-1][nTbS]
+        bias[0, si] = s
+        shift[0, si] = log2 + 1
+        # DC (mode 1)
+        w = W[1, si]
+        w[flat[:, None], 1 + np.arange(s)[None, :]] = 1
+        w[flat[:, None], REF_LEN + 1 + np.arange(s)[None, :]] = 1
+        bias[1, si] = s
+        shift[1, si] = log2 + 1
+        # angular modes
+        for mode in range(2, 35):
+            angle = int(INTRA_PRED_ANGLE[mode - 2])
+            vertical = mode >= 18
+            w = W[mode, si]
+
+            def ref_src(r):
+                """ref_full index -> refvec index (main/side per direction)."""
+                if r >= 32:
+                    t = r - 32  # main[t]
+                    return (REF_LEN + t) if vertical else t
+                k = 31 - r  # ext[k] = side[inv_idx[mode, k]]
+                t = int(inv_idx[mode, k])
+                return t if vertical else (REF_LEN + t)
+
+            for d in range(s):  # distance-1 (row for vertical, col for horiz)
+                iidx = ((d + 1) * angle) >> 5
+                ifact = ((d + 1) * angle) & 31
+                for p in range(s):  # position along the edge
+                    base = 32 + p + iidx
+                    r = (d * MAX_S + p) if vertical else (p * MAX_S + d)
+                    w[r, ref_src(base + 1)] += 32 - ifact
+                    if ifact:
+                        w[r, ref_src(base + 2)] += ifact
+            bias[mode, si] = 16
+            shift[mode, si] = 5
+    return W, bias, shift
+
+
+_PRED_W_NP, _PRED_B_NP, _PRED_SH_NP = _build_pred_weights()
+_PRED_W = jnp.asarray(_PRED_W_NP)
+_PRED_B = jnp.asarray(_PRED_B_NP)
+_PRED_SH = jnp.asarray(_PRED_SH_NP)
+
+
 def _clip16(x):
     return jnp.clip(x, -32768, 32767)
+
+
+def _onehot_take(vec, idx, n: int):
+    """Gather-free take: TPU lowers small irregular gathers poorly, so
+    contract a one-hot mask instead (VPU-friendly).
+
+    vec: [..., n]; idx: int array broadcastable against vec[...,:-1] dims.
+    Returns vec[..., idx] with shape idx.shape.
+    """
+    oh = (idx[..., None] == jnp.arange(n)).astype(vec.dtype)
+    return (oh * vec).sum(-1)
 
 
 # ==========================================================================
@@ -81,7 +171,10 @@ def _clip16(x):
 
 
 def residual_class(coeffs, qp, dst, skip, bypass, scaling, size: int):
-    """One (comp,size) class: [n,s,s] levels -> [n,s,s] residual (int32)."""
+    """One (comp,size) class: [n,s,s] levels -> [n,s,s] residual (int32).
+
+    coeffs may arrive int16 (wire format); computed in int32."""
+    coeffs = coeffs.astype(jnp.int32)
     n = coeffs.shape[0]
     log2 = size.bit_length() - 1
     bd_shift = 8 + log2 - 5
@@ -146,80 +239,45 @@ def scatter_blocks(plane, blocks, pos, size: int, width: int):
 
 
 def _predict_block(left, top, size, log2, mode, is_luma, strong_smoothing):
-    """Branchless intra prediction at padded 32x32 (§8.4.4.2.4-6).
+    """Intra prediction at padded 32x32 (§8.4.4.2.4-6) via the static
+    linear weights plus masked nonlinear fix-ups.
 
     left/top: [REF_LEN] int32 (index 0 = corner). Returns [32,32] int32.
     """
     s = size
+    refvec = jnp.concatenate([left, top])  # [130]
+    si = log2 - 2
+    w = _PRED_W[mode, si].astype(jnp.int32)  # [1024, 130]
+    acc = jax.lax.dot_general(
+        w, refvec, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    pred = ((acc + _PRED_B[mode, si]) >> _PRED_SH[mode, si]).reshape(
+        MAX_S, MAX_S
+    )
+
+    rr = jnp.arange(MAX_S)[:, None]
+    cc = jnp.arange(MAX_S)[None, :]
+
+    # DC boundary smoothing (luma, s < 32, mode DC)
     idx = jnp.arange(REF_LEN)
-
-    # ---- planar ----
-    xpos = jnp.arange(MAX_S)
-    tr = top[s + 1]
-    bl = left[s + 1]
-    px = left[1 : MAX_S + 1]  # p[-1][y]
-    pt = top[1 : MAX_S + 1]  # p[x][-1]
-    planar = (
-        (s - 1 - xpos)[None, :] * px[:, None]
-        + (xpos + 1)[None, :] * tr
-        + (s - 1 - xpos)[:, None] * pt[None, :]
-        + (xpos + 1)[:, None] * bl
-        + s
-    ) >> (log2 + 1)
-
-    # ---- DC ----
     msk = (idx >= 1) & (idx <= s)
     dc = (jnp.sum(jnp.where(msk, left + top, 0)) + s) >> (log2 + 1)
-    dcb = jnp.full((MAX_S, MAX_S), dc, dtype=jnp.int32)
-    dc_smooth = is_luma & (s < 32)
-    # pred[0][x] uses p[x][-1] = top[x+1]; pred[y][0] uses p[-1][y] = left[y+1]
+    dc_smooth = is_luma & (s < 32) & (mode == 1)
     top_row = (top[1 : MAX_S + 1] + 3 * dc + 2) >> 2
     left_col = (left[1 : MAX_S + 1] + 3 * dc + 2) >> 2
     corner_v = (left[1] + 2 * dc + top[1] + 2) >> 2
-    if dcb is not None:
-        dcb = jnp.where(
-            dc_smooth & (jnp.arange(MAX_S)[:, None] == 0), top_row[None, :], dcb
-        )
-        dcb = jnp.where(
-            dc_smooth & (jnp.arange(MAX_S)[None, :] == 0) & (jnp.arange(MAX_S)[:, None] > 0),
-            left_col[:, None],
-            dcb,
-        )
-        dcb = jnp.where(
-            dc_smooth
-            & (jnp.arange(MAX_S)[:, None] == 0)
-            & (jnp.arange(MAX_S)[None, :] == 0),
-            corner_v,
-            dcb,
-        )
+    pred = jnp.where(dc_smooth & (rr == 0), top_row[None, :], pred)
+    pred = jnp.where(dc_smooth & (cc == 0) & (rr > 0), left_col[:, None], pred)
+    pred = jnp.where(dc_smooth & (rr == 0) & (cc == 0), corner_v, pred)
 
-    # ---- angular ----
-    ang_mode = jnp.clip(mode, 2, 34)
-    angle = _ANGLES[ang_mode - 2]
-    vertical = mode >= 18
-    main = jnp.where(vertical, top, left)
-    side = jnp.where(vertical, left, top)
-    ext = side[_INV_IDX[ang_mode]]  # [32] sources for ref[-1-k]
-    # ref array: ref_full[i] corresponds to ref index i-32 (offset 32)
-    ref_full = jnp.concatenate([ext[::-1], main, jnp.zeros(1, jnp.int32)])
-    d1 = jnp.arange(1, MAX_S + 1)[:, None]  # distance (y+1 | x+1)
-    iidx = (d1 * angle) >> 5
-    ifact = (d1 * angle) & 31
-    base = 32 + jnp.arange(MAX_S)[None, :] + iidx  # ref index of x+i (+32 off)
-    a = ref_full[jnp.clip(base + 1, 0, 97)]
-    b = ref_full[jnp.clip(base + 2, 0, 97)]
-    ang = ((32 - ifact) * a + ifact * b + 16) >> 5
-    ang = jnp.where(vertical, ang, ang.T)
-    # pure vertical/horizontal edge compensation (luma, s<32)
+    # pure vertical/horizontal edge compensation (luma, s < 32)
     comp_ok = is_luma & (s < 32)
     v_edge = comp_ok & (mode == 26)
     h_edge = comp_ok & (mode == 10)
     delta_v = jnp.clip(top[1] + ((left[1 : MAX_S + 1] - left[0]) >> 1), 0, 255)
     delta_h = jnp.clip(left[1] + ((top[1 : MAX_S + 1] - top[0]) >> 1), 0, 255)
-    ang = jnp.where(v_edge & (jnp.arange(MAX_S)[None, :] == 0), delta_v[:, None], ang)
-    ang = jnp.where(h_edge & (jnp.arange(MAX_S)[:, None] == 0), delta_h[None, :], ang)
-
-    pred = jnp.where(mode == 0, planar, jnp.where(mode == 1, dcb, ang))
+    pred = jnp.where(v_edge & (cc == 0), delta_v[:, None], pred)
+    pred = jnp.where(h_edge & (rr == 0), delta_h[None, :], pred)
     return pred
 
 
@@ -275,16 +333,16 @@ def _filter_refs(left, top, size, log2, mode, filter_flag, strong_smoothing):
 
 def intra_scan_component(
     plane0, res_plane, pcm_plane, xs, is_luma: bool, strong_smoothing: bool,
-    height: int, width: int,
 ):
     """lax.scan over one component's TU worklist.
 
-    plane0/res_plane/pcm_plane: [H+PAD, W+PAD] int32 (padded bottom/right).
-    xs: dict of per-step arrays from ComponentPlan.
+    plane0: [1+H+SPAD, 1+W+SPAD] int32 (origin shifted by +1; sample (r,c)
+    lives at plane[r+1, c+1]). res_plane/pcm_plane: [H+PAD, W+PAD] int32.
+    xs: per-step arrays from ComponentPlan (src = local ref indices).
     """
 
     def step(plane, x):
-        tx, ty, size, mode, filt, pcm, src_y, src_x = x
+        tx, ty, size, mode, filt, pcm, src = x
         active = size > 0
         log2 = (
             jnp.where(size == 4, 2, 0)
@@ -292,11 +350,17 @@ def intra_scan_component(
             + jnp.where(size == 16, 4, 0)
             + jnp.where(size == 32, 5, 0)
         )
-        # gather reference samples (coords precomputed; -1 -> 128)
-        sy = jnp.clip(src_y, 0, height - 1)
-        sx = jnp.clip(src_x, 0, width - 1)
-        raw = plane[sy, sx]
-        refs = jnp.where(src_y < 0, 128, raw)
+        # reference strips: abs (ty-1 .. ty+2N-1, tx-1) and
+        # (ty-1, tx-1 .. tx+2N-1); +1 origin makes the starts (ty, tx)
+        left_strip = lax.dynamic_slice(plane, (ty, tx), (REF_LEN, 1))[:, 0]
+        top_strip = lax.dynamic_slice(plane, (ty, tx), (1, REF_LEN))[0]
+        local = jnp.concatenate([left_strip, top_strip])  # [130]
+        srci = src.astype(jnp.int32)  # uint8; 255 = unavailable
+        refs = jnp.where(
+            srci >= 2 * REF_LEN,
+            128,
+            _onehot_take(local, jnp.minimum(srci, 2 * REF_LEN - 1), 2 * REF_LEN),
+        )
         left, top = refs[0], refs[1]
         if is_luma:
             left, top = _filter_refs(
@@ -309,14 +373,14 @@ def intra_scan_component(
         pcmb = lax.dynamic_slice(pcm_plane, (ty, tx), (MAX_S, MAX_S))
         new = jnp.clip(pred + res, 0, 255)
         new = jnp.where(pcm.astype(bool), pcmb, new)
-        cur = lax.dynamic_slice(plane, (ty, tx), (MAX_S, MAX_S))
+        cur = lax.dynamic_slice(plane, (ty + 1, tx + 1), (MAX_S, MAX_S))
         mask = (
             (jnp.arange(MAX_S)[:, None] < size)
             & (jnp.arange(MAX_S)[None, :] < size)
             & active
         )
         out = jnp.where(mask, new, cur)
-        plane = lax.dynamic_update_slice(plane, out, (ty, tx))
+        plane = lax.dynamic_update_slice(plane, out, (ty + 1, tx + 1))
         return plane, None
 
     plane, _ = lax.scan(step, plane0, xs)
@@ -343,8 +407,8 @@ def _deblock_luma_pass(plane, edge_present, qp_p, qp_q, nf_p, nf_q,
     q0, q1, q2, q3 = seg[..., 4], seg[..., 5], seg[..., 6], seg[..., 7]
 
     qp_avg = (qp_p + qp_q + 1) >> 1
-    beta = _BETA[jnp.clip(qp_avg + beta_off, 0, 51)]
-    tc = _TC[jnp.clip(qp_avg + 2 + tc_off, 0, 53)]
+    beta = _onehot_take(_BETA, jnp.clip(qp_avg + beta_off, 0, 51), 52)
+    tc = _onehot_take(_TC, jnp.clip(qp_avg + 2 + tc_off, 0, 53), len(TC_TABLE))
 
     def dd(i):
         dp = jnp.abs(p2[..., i] - 2 * p1[..., i] + p0[..., i])
@@ -416,7 +480,7 @@ def _deblock_chroma_pass(plane, edge_present, qpc, nf_p, nf_q, tc_off: int):
     ne = w // 8 - 1
     seg = plane[:, 6 : 6 + ne * 8].reshape(h // 2, 2, ne, 8).transpose(0, 2, 1, 3)
     p1, p0, q0, q1 = seg[..., 0], seg[..., 1], seg[..., 2], seg[..., 3]
-    tc = _TC[jnp.clip(qpc + 2 + tc_off, 0, 53)]
+    tc = _onehot_take(_TC, jnp.clip(qpc + 2 + tc_off, 0, 53), len(TC_TABLE))
     tcb = tc[..., None]
     delta = jnp.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tcb, tcb)
     fm = (edge_present & (tc > 0))[..., None]
@@ -493,8 +557,7 @@ def _plan_to_device(plan: P.DecodePlan):
                 jnp.asarray(cp.mode),
                 jnp.asarray(cp.filter_flag),
                 jnp.asarray(cp.pcm),
-                jnp.asarray(cp.src_y),
-                jnp.asarray(cp.src_x),
+                jnp.asarray(cp.src),
             )
         )
     return xs
@@ -541,11 +604,11 @@ def reconstruct_tile_jax(plan: P.DecodePlan, sps, sh) -> list[np.ndarray]:
         pcm = jnp.zeros((h + PAD, w + PAD), jnp.int32)
         if plan.pcm_planes:
             pcm = pcm.at[:h, :w].set(jnp.asarray(plan.pcm_planes[c]))
-        plane0 = jnp.zeros((h + PAD, w + PAD), jnp.int32)
+        plane0 = jnp.zeros((1 + h + SPAD, 1 + w + SPAD), jnp.int32)
         plane = intra_scan_component(
-            plane0, res_planes[c], pcm, xs[c], c == 0, strong, h + PAD, w + PAD
+            plane0, res_planes[c], pcm, xs[c], c == 0, strong
         )
-        planes.append(plane[:h, :w])
+        planes.append(plane[1 : 1 + h, 1 : 1 + w])
 
     # ---- deblock ----
     if not plan.deblock_disabled:
@@ -580,13 +643,13 @@ def reconstruct_tile_jax(plan: P.DecodePlan, sps, sh) -> list[np.ndarray]:
         for ci, c_off in ((1, plan.cb_qp_off), (2, plan.cr_qp_off)):
             ep_v = ve[:, ccols]
             qp_avg = (qp[:, ccols - 1] + qp[:, ccols] + 1) >> 1
-            qpc = _CHROMA_QP_LUT[jnp.clip(qp_avg + c_off, 0, 57)]
+            qpc = _onehot_take(_CHROMA_QP_LUT, jnp.clip(qp_avg + c_off, 0, 57), 58)
             p = _deblock_chroma_pass(
                 planes[ci], ep_v, qpc, nf[:, ccols - 1], nf[:, ccols], to
             )
             ep_h = he.T[:, ccols]
             qp_avgT = (qp.T[:, ccols - 1] + qp.T[:, ccols] + 1) >> 1
-            qpcT = _CHROMA_QP_LUT[jnp.clip(qp_avgT + c_off, 0, 57)]
+            qpcT = _onehot_take(_CHROMA_QP_LUT, jnp.clip(qp_avgT + c_off, 0, 57), 58)
             p = _deblock_chroma_pass(
                 p.T, ep_h, qpcT, nf.T[:, ccols - 1], nf.T[:, ccols], to
             ).T

@@ -45,10 +45,15 @@ class ComponentPlan:
     mode: np.ndarray  # [n] int32 intra mode
     filter_flag: np.ndarray  # [n] int32 (luma ref smoothing eligible)
     pcm: np.ndarray  # [n] int32
-    # reference source coords into the component plane: [n, 2, REF_LEN]
-    # axis1: 0=left (corner, p[-1][0..2N-1]), 1=top (corner, p[0..2N-1][-1])
-    src_y: np.ndarray  # int32, -1 => constant 128
-    src_x: np.ndarray
+    # reference source indices into the TU's LOCAL reference vector
+    # (left strip [65] ++ top strip [65], both starting at the corner):
+    # [n, 2, REF_LEN]; axis1: 0=left (corner, p[-1][0..2N-1]),
+    # 1=top (corner, p[0..2N-1][-1]); -1 => constant 1<<(bd-1).
+    # Local-vector addressing lets the device fetch refs with two
+    # dynamic_slices + a tiny gather instead of a whole-plane gather.
+    # dtype uint8 (0..129; 255 = unavailable) to keep host->device
+    # transfers small.
+    src: np.ndarray
 
 
 @dataclass
@@ -149,6 +154,70 @@ def _ref_sources(
     return out_y, out_x
 
 
+def _ref_sources_batch(
+    z4: np.ndarray, W: int, H: int, comp: int,
+    tx: np.ndarray, ty: np.ndarray, tsize: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized _ref_sources over all TUs of one component.
+
+    Returns (src_y, src_x) of shape [n, 2, REF_LEN]. Identical semantics to
+    the scalar version (cross-checked by tests).
+    """
+    n = tx.shape[0]
+    sub = 1 if comp == 0 else 2
+    L = 4 * MAX_TU + 1  # walk length at max size (129)
+    walk = np.arange(L)[None, :]  # walk index i
+    s2 = (2 * tsize)[:, None]  # 2N per TU
+    # walk order: i in [0, 2N]: p[-1][2N-1-i] (left, bottom-up, incl corner
+    # at i == 2N); i in (2N, 4N]: p[i-2N-1][-1] (top, left-to-right)
+    is_left = walk <= s2
+    cx = np.where(is_left, tx[:, None] - 1, tx[:, None] + (walk - s2 - 1))
+    cy = np.where(is_left, ty[:, None] + (s2 - 1 - walk), ty[:, None] - 1)
+    valid_walk = walk <= 2 * s2
+    lx = cx * sub
+    ly = cy * sub
+    inb = (lx >= 0) & (ly >= 0) & (lx < W) & (ly < H) & valid_walk
+    z_cur = z4[(ty * sub) >> 2, (tx * sub) >> 2][:, None]
+    zn = np.zeros((n, L), dtype=np.int64)
+    iy = np.clip(ly, 0, H - 1) >> 2
+    ix = np.clip(lx, 0, W - 1) >> 2
+    zn = z4[iy, ix]
+    avail = inb & (zn < z_cur)
+
+    any_avail = avail.any(axis=1)
+    first_avail = np.argmax(avail, axis=1)  # first True (0 if none)
+    # substitution: source walk-index = last available index <= i, with
+    # position 0 seeded by the first available anywhere
+    idx = np.where(avail, walk, -1)
+    idx[np.arange(n), 0] = np.where(avail[:, 0], 0, first_avail)
+    src_walk = np.maximum.accumulate(idx, axis=1)
+    src_ok = any_avail[:, None] & valid_walk & (src_walk >= 0)
+    sw = np.clip(src_walk, 0, L - 1)
+
+    # walk index -> LOCAL reference-vector index:
+    #   left strip local[k] = p[-1][k-1]  (k=0 corner), walk w<=2N -> 2N-w
+    #   top  strip local[65+k] = p[k-1][-1], walk w>2N  -> w-2N+65
+    local_of_walk = np.where(sw <= s2, s2 - sw, sw - s2 + REF_LEN)
+    local_of_walk = np.where(src_ok, local_of_walk, 255)
+
+    # map walk positions -> (left[REF_LEN], top[REF_LEN]) layouts
+    src = np.full((n, 2, REF_LEN), 255, dtype=np.uint8)
+    corner_w = (2 * tsize).astype(np.int64)
+    src[:, 0, 0] = np.take_along_axis(local_of_walk, corner_w[:, None], 1)[:, 0]
+    src[:, 1, 0] = src[:, 0, 0]
+    i_ref = np.arange(2 * MAX_TU)[None, :]
+    ref_valid = i_ref < 2 * tsize[:, None]
+    lw = np.clip(2 * tsize[:, None] - 1 - i_ref, 0, L - 1)
+    tw = np.clip(2 * tsize[:, None] + 1 + i_ref, 0, L - 1)
+    src[:, 0, 1:] = np.where(
+        ref_valid, np.take_along_axis(local_of_walk, lw, 1), 255
+    )
+    src[:, 1, 1:] = np.where(
+        ref_valid, np.take_along_axis(local_of_walk, tw, 1), 255
+    )
+    return src
+
+
 def _luma_filter_flag(size: int, mode: int) -> bool:
     if mode == 1 or size == 4:
         return False
@@ -190,8 +259,7 @@ def pack_tile(
             mode=np.zeros(n, dtype=np.int32),
             filter_flag=np.zeros(n, dtype=np.int32),
             pcm=np.zeros(n, dtype=np.int32),
-            src_y=np.full((n, 2, REF_LEN), -1, dtype=np.int32),
-            src_x=np.full((n, 2, REF_LEN), -1, dtype=np.int32),
+            src=np.full((n, 2, REF_LEN), 255, dtype=np.uint8),
         )
         sub = 1 if c == 0 else 2
         for i, row in enumerate(rows):
@@ -204,11 +272,11 @@ def pack_tile(
             cp.mode[i] = mode
             cp.pcm[i] = int(row[T.TU_PCM])
             cp.filter_flag[i] = int(c == 0 and _luma_filter_flag(size, mode))
-            sy, sx = _ref_sources(
-                z4, st.width, st.height, c, x, y, size, (x * sub, y * sub)
+        if n_real:
+            cp.src[:n_real] = _ref_sources_batch(
+                z4, st.width, st.height, c,
+                cp.x[:n_real], cp.y[:n_real], cp.size[:n_real],
             )
-            cp.src_y[i] = sy
-            cp.src_x[i] = sx
         plan.comp_plans.append(cp)
 
     # ---- transform classes ----
@@ -225,7 +293,7 @@ def pack_tile(
             comp=c,
             size=size,
             n=n,
-            coeffs=np.zeros((n, size, size), dtype=np.int32),
+            coeffs=np.zeros((n, size, size), dtype=np.int16),
             qp=np.zeros(n, dtype=np.int32),
             dst=np.zeros(n, dtype=bool),
             skip=np.zeros(n, dtype=bool),
