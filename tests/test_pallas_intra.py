@@ -1,0 +1,60 @@
+"""Pallas intra-prediction kernel vs the XLA/numpy reference (interpret
+mode on CPU; the same kernel compiles for real TPUs via Mosaic)."""
+
+import numpy as np
+import pytest
+
+from heif_tpu.container.reader import HeifReader
+from heif_tpu.hevc import params
+from heif_tpu.hevc import slice as sl
+from heif_tpu.hevc.rbsp import remove_emulation_prevention
+from heif_tpu.cabac.syntax import TileSyntaxDecoder
+from heif_tpu.ops import ref_recon as R
+
+
+@pytest.mark.parametrize("comp", [0, 1])
+def test_pallas_intra_interpret_bit_exact(halfmoonbay_bytes, comp):
+    import jax.numpy as jnp
+
+    from heif_tpu.ops import jax_recon as J
+    from heif_tpu.ops import pallas_intra as PI
+    from heif_tpu.ops.batch import pack_batch
+
+    r = HeifReader(halfmoonbay_bytes)
+    heif = r.read()
+    rec = heif.hevc_configuration_record()
+    sps = params.parse_sps(
+        remove_emulation_prevention(rec.nal_units_of_type(33)[0][2:])
+    )
+    pps = params.parse_pps(
+        remove_emulation_prevention(rec.nal_units_of_type(34)[0][2:])
+    )
+    slices = [
+        sl.parse_slice_header(
+            sl.split_length_prefixed_nals(r.get_item_data(t), 4)[0], sps, pps
+        )
+        for t in (1, 38)
+    ]
+    sts = [TileSyntaxDecoder(sps, pps, ps).decode() for ps in slices]
+    bp = pack_batch(sts, sps, pps, slices)
+    n = bp.n
+    h = bp.height if comp == 0 else bp.height // 2
+    w = bp.width if comp == 0 else bp.width // 2
+    res_np = np.zeros((n, h + J.PAD, w + J.PAD), np.int32)
+    refs = []
+    for i, st in enumerate(sts):
+        rp = R.residual_planes(st, sps)
+        res_np[i, :h, :w] = rp[comp]
+        refs.append(R.intra_reconstruct(st, rp, sps)[comp])
+    meta = PI.build_meta(bp.xs[comp])
+    out = np.asarray(
+        PI.intra_scan_pallas(
+            jnp.asarray(res_np),
+            jnp.asarray(meta),
+            jnp.asarray(bp.xs[comp][6]),
+            h, w, comp == 0, False,
+            interpret=True,
+        )
+    )
+    for i in range(n):
+        assert (out[i] == refs[i]).all(), f"tile {i} comp {comp} differs"
