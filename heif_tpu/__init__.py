@@ -20,6 +20,10 @@ Public API mirrors the reference crate's re-exports (src/lib.rs:10-11):
 `HeifReader` for container access, `HeicDecoder` for the full pipeline.
 """
 
+from heif_tpu.utils.hostmem import tune_allocator as _tune_allocator
+
+_tune_allocator()  # see utils/hostmem.py: fault-expensive microVM hosts
+
 from heif_tpu.container.reader import HeifReader
 from heif_tpu.models.decoder import HeicDecoder
 

@@ -49,6 +49,7 @@ class BatchPlan:
     scaling: dict
     # scans: per comp tuple of [N, S, ...] arrays
     xs: list
+    counts: list  # per comp [N] int32 real TU counts (scan trip bounds)
     pcm: list  # per comp [N, h+PAD, w+PAD] int32 (or None)
     # loop filter meta, stacked [N, ...]
     qp_map: np.ndarray
@@ -68,18 +69,28 @@ class BatchPlan:
 
 def pack_batch(syntaxes, sps, pps, slices) -> BatchPlan:
     """Pack N tiles (same SPS/PPS geometry) into one BatchPlan."""
-    # shared per-component scan lengths
-    counts = [[0, 0, 0] for _ in syntaxes]
-    for i, st in enumerate(syntaxes):
-        for row in st.tu_table:
-            counts[i][int(row[0])] += 1
-    n_steps = [max(c[k] for c in counts) for k in range(3)]
-    n_steps = [max(1, -(-s // 64) * 64) for s in n_steps]
+    from heif_tpu.utils.hostmem import tune_allocator
 
-    plans = [
-        P.pack_tile(st, sps, pps, ps.header, n_steps=n_steps)
-        for st, ps in zip(syntaxes, slices)
-    ]
+    tune_allocator()
+    # shared per-component scan lengths
+    counts = np.stack(
+        [np.bincount(st.tu_table[:, 0], minlength=3) for st in syntaxes]
+    )
+    n_steps = [max(1, -(-int(s) // 64) * 64) for s in counts.max(axis=0)]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    import os
+
+    with ThreadPoolExecutor(
+        max_workers=min(len(syntaxes), os.cpu_count() or 4)
+    ) as ex:
+        plans = list(
+            ex.map(
+                lambda a: P.pack_tile(a[0], sps, pps, a[1].header, n_steps),
+                zip(syntaxes, slices),
+            )
+        )
     n = len(plans)
     H, W = plans[0].height, plans[0].width
     Hc, Wc = H // 2, W // 2
@@ -100,12 +111,14 @@ def pack_batch(syntaxes, sps, pps, slices) -> BatchPlan:
                     dsts.append(tc.dst)
                     skips.append(tc.skip)
                     byps.append(tc.bypass)
-                    oy = tc.pos[:, 0][:, None, None]
-                    ox = tc.pos[:, 1][:, None, None]
-                    iy = np.arange(size)[None, :, None]
-                    ix = np.arange(size)[None, None, :]
+                    oy = tc.pos[:, 0].astype(np.int32)[:, None, None]
+                    ox = tc.pos[:, 1].astype(np.int32)[:, None, None]
+                    iy = np.arange(size, dtype=np.int32)[None, :, None]
+                    ix = np.arange(size, dtype=np.int32)[None, None, :]
                     flats.append(
-                        ti * stride + (oy + iy) * (w + PAD) + (ox + ix)
+                        np.int32(ti * stride)
+                        + (oy + iy) * np.int32(w + PAD)
+                        + (ox + ix)
                     )
         if blocks:
             tc_coeffs[(comp, size)] = np.concatenate(blocks)
@@ -116,11 +129,15 @@ def pack_batch(syntaxes, sps, pps, slices) -> BatchPlan:
             tc_flat[(comp, size)] = np.concatenate(flats).reshape(-1)
 
     xs = []
+    counts = []
     for c in range(3):
         fields = []
         for name in ("x", "y", "size", "mode", "filter_flag", "pcm", "src"):
             fields.append(np.stack([getattr(p.comp_plans[c], name) for p in plans]))
         xs.append(tuple(fields))
+        counts.append(
+            np.asarray([p.comp_plans[c].n_real for p in plans], np.int32)
+        )
 
     pcm = []
     any_pcm = any(p.pcm_planes and p.pcm_planes[0].any() for p in plans)
@@ -148,6 +165,7 @@ def pack_batch(syntaxes, sps, pps, slices) -> BatchPlan:
         tc_flat=tc_flat,
         scaling=p0.scaling,
         xs=xs,
+        counts=counts,
         pcm=pcm,
         qp_map=np.stack([p.qp_map for p in plans]),
         nf_map=np.stack([p.nf_map for p in plans]),
@@ -170,15 +188,29 @@ def pack_batch(syntaxes, sps, pps, slices) -> BatchPlan:
 # --------------------------------------------------------------------------
 
 
+def _meta_from_xs(xs_c):
+    """[N, S, 8] pallas meta tensor from the packed per-step fields."""
+    x, y, size, mode, filt, _pcm, _src = xs_c
+    log2 = (
+        (size == 4) * 2 + (size == 8) * 3 + (size == 16) * 4 + (size == 32) * 5
+    )
+    widx = mode * 4 + jnp.maximum(log2 - 2, 0)
+    active = (size > 0).astype(jnp.int32)
+    return jnp.stack(
+        [x, y, size, log2, mode, filt, widx, active], axis=-1
+    ).astype(jnp.int32)
+
+
 def _core(
     tc_arrays,  # dict (comp,size) -> (coeffs, qp, dst, skip, bypass, flat)
     scaling,  # dict (size, comp) -> matrix
     xs,  # list of 3 tuples of [N, S, ...]
+    counts,  # tuple of 3 [N] int32 real TU counts
     pcm,  # list of 3 ([N,h+PAD,w+PAD] or None)
     qp_map, nf_map, vert_edges, horiz_edges, sao,
     *,
     n, H, W, deblock_disabled, sao_luma, sao_chroma,
-    beta_off, tc_off, cb_qp_off, cr_qp_off, strong_smoothing,
+    beta_off, tc_off, cb_qp_off, cr_qp_off, strong_smoothing, use_pallas,
 ):
     Hc, Wc = H // 2, W // 2
     dims = [(H, W), (Hc, Wc), (Hc, Wc)]
@@ -197,23 +229,42 @@ def _core(
         for c in range(3)
     ]
 
-    # ---- stage 2: intra scans (vmapped over tiles) ----
+    # ---- stage 2: intra scans ----
     planes = []
-    for c in range(3):
-        h, w = dims[c]
-        pcm_c = (
-            pcm[c]
-            if pcm[c] is not None
-            else jnp.zeros((n, h + PAD, w + PAD), jnp.int32)
-        )
-        plane0 = jnp.zeros((n, 1 + h + J.SPAD, 1 + w + J.SPAD), jnp.int32)
-        scan_fn = partial(
-            J.intra_scan_component,
-            is_luma=(c == 0),
-            strong_smoothing=strong_smoothing,
-        )
-        plane = jax.vmap(scan_fn)(plane0, res[c], pcm_c, xs[c])
-        planes.append(plane[:, 1 : 1 + h, 1 : 1 + w])
+    if use_pallas:
+        # one VMEM-resident Pallas program per tile (see ops.pallas_intra);
+        # PCM tiles take the XLA path instead (pallas kernel skips PCM)
+        from heif_tpu.ops import pallas_intra as PI
+
+        for c in range(3):
+            h, w = dims[c]
+            plane = PI.intra_scan_pallas(
+                res[c],
+                _meta_from_xs(xs[c]),
+                xs[c][6],
+                h,
+                w,
+                is_luma=(c == 0),
+                strong_smoothing=strong_smoothing,
+                counts=counts[c],
+            )
+            planes.append(plane)
+    else:
+        for c in range(3):
+            h, w = dims[c]
+            pcm_c = (
+                pcm[c]
+                if pcm[c] is not None
+                else jnp.zeros((n, h + PAD, w + PAD), jnp.int32)
+            )
+            plane0 = jnp.zeros((n, 1 + h + J.SPAD, 1 + w + J.SPAD), jnp.int32)
+            scan_fn = partial(
+                J.intra_scan_component,
+                is_luma=(c == 0),
+                strong_smoothing=strong_smoothing,
+            )
+            plane = jax.vmap(scan_fn)(plane0, res[c], pcm_c, xs[c])
+            planes.append(plane[:, 1 : 1 + h, 1 : 1 + w])
 
     # ---- stage 3: deblock ----
     if not deblock_disabled:
@@ -308,8 +359,24 @@ _core_jit = jax.jit(
     static_argnames=(
         "n", "H", "W", "deblock_disabled", "sao_luma", "sao_chroma",
         "beta_off", "tc_off", "cb_qp_off", "cr_qp_off", "strong_smoothing",
+        "use_pallas",
     ),
 )
+
+
+def _pallas_ok(bp: BatchPlan) -> bool:
+    """Pallas intra path: real TPU only, no PCM tiles (XLA path covers
+    those), standard tile geometry."""
+    import os
+
+    if os.environ.get("HEIF_TPU_NO_PALLAS"):
+        return False
+    if any(p is not None for p in bp.pcm):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def reconstruct_batch(bp: BatchPlan) -> list:
@@ -328,11 +395,13 @@ def reconstruct_batch(bp: BatchPlan) -> list:
     }
     scaling = {k: jnp.asarray(v) for k, v in bp.scaling.items()}
     xs = [tuple(jnp.asarray(a) for a in t) for t in bp.xs]
+    counts = tuple(jnp.asarray(c) for c in bp.counts)
     pcm = [None if p is None else jnp.asarray(p) for p in bp.pcm]
     planes = _core_jit(
         tc_arrays,
         scaling,
         xs,
+        counts,
         pcm,
         jnp.asarray(bp.qp_map),
         jnp.asarray(bp.nf_map),
@@ -350,5 +419,6 @@ def reconstruct_batch(bp: BatchPlan) -> list:
         cb_qp_off=bp.cb_qp_off,
         cr_qp_off=bp.cr_qp_off,
         strong_smoothing=bp.strong_smoothing,
+        use_pallas=_pallas_ok(bp),
     )
     return [np.asarray(p) for p in planes]

@@ -154,67 +154,78 @@ def _ref_sources(
     return out_y, out_x
 
 
-def _ref_sources_batch(
+def _ref_sources_group(
     z4: np.ndarray, W: int, H: int, comp: int,
-    tx: np.ndarray, ty: np.ndarray, tsize: np.ndarray,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized _ref_sources over all TUs of one component.
+    tx: np.ndarray, ty: np.ndarray, size: int, out: np.ndarray,
+) -> None:
+    """_ref_sources_batch for a fixed TU size; writes into out[n,2,REF_LEN].
 
-    Returns (src_y, src_x) of shape [n, 2, REF_LEN]. Identical semantics to
-    the scalar version (cross-checked by tests).
+    Walk length is 4*size+1 instead of the worst-case 129, and all index
+    math is int32 — together ~an order of magnitude less work for the
+    dominant 4x4 class.
     """
-    n = tx.shape[0]
     sub = 1 if comp == 0 else 2
-    L = 4 * MAX_TU + 1  # walk length at max size (129)
-    walk = np.arange(L)[None, :]  # walk index i
-    s2 = (2 * tsize)[:, None]  # 2N per TU
+    s2 = 2 * size
+    L = 2 * s2 + 1
+    walk = np.arange(L, dtype=np.int32)[None, :]
     # walk order: i in [0, 2N]: p[-1][2N-1-i] (left, bottom-up, incl corner
     # at i == 2N); i in (2N, 4N]: p[i-2N-1][-1] (top, left-to-right)
     is_left = walk <= s2
-    cx = np.where(is_left, tx[:, None] - 1, tx[:, None] + (walk - s2 - 1))
-    cy = np.where(is_left, ty[:, None] + (s2 - 1 - walk), ty[:, None] - 1)
-    valid_walk = walk <= 2 * s2
+    txc = tx.astype(np.int32)[:, None]
+    tyc = ty.astype(np.int32)[:, None]
+    cx = np.where(is_left, txc - 1, txc + (walk - s2 - 1))
+    cy = np.where(is_left, tyc + (s2 - 1 - walk), tyc - 1)
     lx = cx * sub
     ly = cy * sub
-    inb = (lx >= 0) & (ly >= 0) & (lx < W) & (ly < H) & valid_walk
-    z_cur = z4[(ty * sub) >> 2, (tx * sub) >> 2][:, None]
-    zn = np.zeros((n, L), dtype=np.int64)
+    inb = (lx >= 0) & (ly >= 0) & (lx < W) & (ly < H)
+    z_cur = z4[(tyc[:, 0] * sub) >> 2, (txc[:, 0] * sub) >> 2][:, None]
     iy = np.clip(ly, 0, H - 1) >> 2
     ix = np.clip(lx, 0, W - 1) >> 2
-    zn = z4[iy, ix]
-    avail = inb & (zn < z_cur)
+    avail = inb & (z4[iy, ix] < z_cur)
 
     any_avail = avail.any(axis=1)
-    first_avail = np.argmax(avail, axis=1)  # first True (0 if none)
+    first_avail = np.argmax(avail, axis=1).astype(np.int32)
     # substitution: source walk-index = last available index <= i, with
     # position 0 seeded by the first available anywhere
-    idx = np.where(avail, walk, -1)
-    idx[np.arange(n), 0] = np.where(avail[:, 0], 0, first_avail)
+    idx = np.where(avail, walk, np.int32(-1))
+    idx[:, 0] = np.where(avail[:, 0], 0, first_avail)
     src_walk = np.maximum.accumulate(idx, axis=1)
-    src_ok = any_avail[:, None] & valid_walk & (src_walk >= 0)
-    sw = np.clip(src_walk, 0, L - 1)
+    src_ok = any_avail[:, None] & (src_walk >= 0)
 
     # walk index -> LOCAL reference-vector index:
     #   left strip local[k] = p[-1][k-1]  (k=0 corner), walk w<=2N -> 2N-w
     #   top  strip local[65+k] = p[k-1][-1], walk w>2N  -> w-2N+65
-    local_of_walk = np.where(sw <= s2, s2 - sw, sw - s2 + REF_LEN)
-    local_of_walk = np.where(src_ok, local_of_walk, 255)
+    local_of_walk = np.where(src_walk <= s2, s2 - src_walk, src_walk - s2 + REF_LEN)
+    local_of_walk = np.where(src_ok, local_of_walk, 255).astype(np.uint8)
 
     # map walk positions -> (left[REF_LEN], top[REF_LEN]) layouts
+    out[:, 0, 0] = local_of_walk[:, s2]
+    out[:, 1, 0] = local_of_walk[:, s2]
+    # left strip p[-1][i] = walk s2-1-i (reverse of walk[0:s2]);
+    # top strip p[i][-1] = walk s2+1+i
+    out[:, 0, 1 : 1 + s2] = local_of_walk[:, s2 - 1 :: -1]
+    out[:, 1, 1 : 1 + s2] = local_of_walk[:, s2 + 1 :]
+
+
+def _ref_sources_batch(
+    z4: np.ndarray, W: int, H: int, comp: int,
+    tx: np.ndarray, ty: np.ndarray, tsize: np.ndarray,
+) -> np.ndarray:
+    """Vectorized _ref_sources over all TUs of one component.
+
+    Returns src of shape [n, 2, REF_LEN] (local ref-vector indices, uint8,
+    255 = unavailable). Identical semantics to the scalar version
+    (cross-checked by tests). Dispatches per size group.
+    """
+    n = tx.shape[0]
     src = np.full((n, 2, REF_LEN), 255, dtype=np.uint8)
-    corner_w = (2 * tsize).astype(np.int64)
-    src[:, 0, 0] = np.take_along_axis(local_of_walk, corner_w[:, None], 1)[:, 0]
-    src[:, 1, 0] = src[:, 0, 0]
-    i_ref = np.arange(2 * MAX_TU)[None, :]
-    ref_valid = i_ref < 2 * tsize[:, None]
-    lw = np.clip(2 * tsize[:, None] - 1 - i_ref, 0, L - 1)
-    tw = np.clip(2 * tsize[:, None] + 1 + i_ref, 0, L - 1)
-    src[:, 0, 1:] = np.where(
-        ref_valid, np.take_along_axis(local_of_walk, lw, 1), 255
-    )
-    src[:, 1, 1:] = np.where(
-        ref_valid, np.take_along_axis(local_of_walk, tw, 1), 255
-    )
+    for size in (4, 8, 16, 32):
+        sel = np.nonzero(tsize == size)[0]
+        if sel.size == 0:
+            continue
+        sub = np.full((sel.size, 2, REF_LEN), 255, dtype=np.uint8)
+        _ref_sources_group(z4, W, H, comp, tx[sel], ty[sel], size, sub)
+        src[sel] = sub
     return src
 
 
@@ -225,6 +236,26 @@ def _luma_filter_flag(size: int, mode: int) -> bool:
         return True
     min_dist = min(abs(mode - 26), abs(mode - 10))
     return min_dist > INTRA_FILTER_THRES[size]
+
+
+# filter threshold indexed by log2 size (2..5); size 4 never filters
+_FILTER_THRES_BY_LOG2 = np.array([99, 99, 99, 7, 1, 0], dtype=np.int32)
+
+
+def _luma_filter_flags_vec(size: np.ndarray, mode: np.ndarray) -> np.ndarray:
+    """Vectorized _luma_filter_flag over TU arrays."""
+    log2 = np.log2(np.maximum(size, 1)).astype(np.int32)
+    min_dist = np.minimum(np.abs(mode - 26), np.abs(mode - 10))
+    out = (mode == 0) | (min_dist > _FILTER_THRES_BY_LOG2[log2])
+    return out & (mode != 1) & (size != 4)
+
+
+def _gather_blocks(plane: np.ndarray, ys: np.ndarray, xs: np.ndarray,
+                   size: int) -> np.ndarray:
+    """Extract [n, size, size] blocks at (ys, xs) from a 2-D plane."""
+    iy = ys[:, None, None] + np.arange(size)[None, :, None]
+    ix = xs[:, None, None] + np.arange(size)[None, None, :]
+    return plane[iy, ix]
 
 
 def pack_tile(
@@ -242,15 +273,15 @@ def pack_tile(
     plan = DecodePlan(width=st.width, height=st.height)
     z4 = z_order_plane(st.width, st.height, sps.ctb_log2_size_y)
 
-    # ---- per-component pred plans ----
-    rows_by_comp = [[], [], []]
-    for row in st.tu_table:
-        rows_by_comp[int(row[T.TU_COMP])].append(row)
+    # ---- per-component pred plans (columnwise over tu_table) ----
+    tt = st.tu_table
+    comp_col = tt[:, T.TU_COMP]
     for c in range(3):
-        rows = rows_by_comp[c]
-        n_real = len(rows)
+        mask = comp_col == c
+        n_real = int(mask.sum())
         n = n_steps[c] if n_steps else n_real
         assert n >= n_real
+        rows = tt[mask]
         cp = ComponentPlan(
             n_real=n_real,
             x=np.zeros(n, dtype=np.int32),
@@ -261,17 +292,15 @@ def pack_tile(
             pcm=np.zeros(n, dtype=np.int32),
             src=np.full((n, 2, REF_LEN), 255, dtype=np.uint8),
         )
-        sub = 1 if c == 0 else 2
-        for i, row in enumerate(rows):
-            x, y = int(row[T.TU_X]), int(row[T.TU_Y])
-            size = 1 << int(row[T.TU_LOG2])
-            mode = int(row[T.TU_PRED_MODE])
-            cp.x[i] = x
-            cp.y[i] = y
-            cp.size[i] = size
-            cp.mode[i] = mode
-            cp.pcm[i] = int(row[T.TU_PCM])
-            cp.filter_flag[i] = int(c == 0 and _luma_filter_flag(size, mode))
+        cp.x[:n_real] = rows[:, T.TU_X]
+        cp.y[:n_real] = rows[:, T.TU_Y]
+        cp.size[:n_real] = 1 << rows[:, T.TU_LOG2]
+        cp.mode[:n_real] = rows[:, T.TU_PRED_MODE]
+        cp.pcm[:n_real] = rows[:, T.TU_PCM]
+        if c == 0 and n_real:
+            cp.filter_flag[:n_real] = _luma_filter_flags_vec(
+                cp.size[:n_real], cp.mode[:n_real]
+            )
         if n_real:
             cp.src[:n_real] = _ref_sources_batch(
                 z4, st.width, st.height, c,
@@ -279,36 +308,32 @@ def pack_tile(
             )
         plan.comp_plans.append(cp)
 
-    # ---- transform classes ----
-    groups: dict[tuple[int, int], list] = {}
-    for row in st.tu_table:
-        if not row[T.TU_CBF] or row[T.TU_PCM]:
-            continue
-        c = int(row[T.TU_COMP])
-        size = 1 << int(row[T.TU_LOG2])
-        groups.setdefault((c, size), []).append(row)
-    for (c, size), rows in sorted(groups.items()):
-        n = len(rows)
-        tc = TransformClass(
-            comp=c,
-            size=size,
-            n=n,
-            coeffs=np.zeros((n, size, size), dtype=np.int16),
-            qp=np.zeros(n, dtype=np.int32),
-            dst=np.zeros(n, dtype=bool),
-            skip=np.zeros(n, dtype=bool),
-            bypass=np.zeros(n, dtype=bool),
-            pos=np.zeros((n, 2), dtype=np.int32),
-        )
-        for i, row in enumerate(rows):
-            x, y = int(row[T.TU_X]), int(row[T.TU_Y])
-            tc.coeffs[i] = st.coeffs[c][y : y + size, x : x + size]
-            tc.qp[i] = int(row[T.TU_QP])
-            tc.dst[i] = c == 0 and size == 4
-            tc.skip[i] = bool(row[T.TU_SKIP])
-            tc.bypass[i] = bool(row[T.TU_BYPASS])
-            tc.pos[i] = (y, x)
-        plan.tclasses.append(tc)
+    # ---- transform classes (columnwise gather per (comp, size)) ----
+    cbf_mask = (tt[:, T.TU_CBF] != 0) & (tt[:, T.TU_PCM] == 0)
+    for c in range(3):
+        for log2 in range(2, 6):
+            size = 1 << log2
+            mask = cbf_mask & (comp_col == c) & (tt[:, T.TU_LOG2] == log2)
+            n = int(mask.sum())
+            if n == 0:
+                continue
+            rows = tt[mask]
+            ys = rows[:, T.TU_Y]
+            xs_ = rows[:, T.TU_X]
+            tc = TransformClass(
+                comp=c,
+                size=size,
+                n=n,
+                coeffs=_gather_blocks(st.coeffs[c], ys, xs_, size).astype(
+                    np.int16
+                ),
+                qp=rows[:, T.TU_QP].astype(np.int32),
+                dst=np.full(n, c == 0 and size == 4, dtype=bool),
+                skip=rows[:, T.TU_SKIP] != 0,
+                bypass=rows[:, T.TU_BYPASS] != 0,
+                pos=np.stack([ys, xs_], axis=1).astype(np.int32),
+            )
+            plan.tclasses.append(tc)
 
     # scaling factor matrices in effect
     lists = sps.effective_scaling_lists()

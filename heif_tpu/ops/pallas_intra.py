@@ -82,8 +82,8 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
-def _kernel(meta_ref, src_ref, res_ref, w_hbm, bias_ref, shift_ref,
-            out_ref, plane, planeT, wbuf, sem, *, n_steps: int,
+def _kernel(count_ref, meta_ref, src_ref, res_ref, w_hbm, bias_ref,
+            shift_ref, out_ref, plane, planeT, wbuf, sem, *, n_steps: int,
             is_luma: bool, strong_smoothing: bool, hp: int, wp: int):
     plane[...] = jnp.zeros_like(plane)
     planeT[...] = jnp.zeros_like(planeT)
@@ -285,7 +285,10 @@ def _kernel(meta_ref, src_ref, res_ref, w_hbm, bias_ref, shift_ref,
         rmw_store(planeT, tx + 1, ty + 1, new.T, eff)
         return 0
 
-    lax.fori_loop(0, n_steps, body, 0)
+    # per-tile dynamic trip count: real TUs only (padding rows are no-ops
+    # anyway, but most tiles have far fewer TUs than the padded max)
+    tile = pl.program_id(0)
+    lax.fori_loop(0, jnp.minimum(count_ref[tile, 0], n_steps), body, 0)
     # out block is residual-sized (and aliased with the res input buffer);
     # rows 0..rh-1 of the +1-origin plane cover the picture (1..h)
     out_ref[...] = plane[pl.ds(0, out_ref.shape[1]), :].reshape(out_ref.shape)
@@ -293,16 +296,20 @@ def _kernel(meta_ref, src_ref, res_ref, w_hbm, bias_ref, shift_ref,
 
 def intra_scan_pallas(
     res, meta, src, h: int, w: int, is_luma: bool, strong_smoothing: bool,
-    interpret: bool = False,
+    interpret: bool = False, counts=None,
 ):
     """Run the intra walk for one component over all tiles.
 
     res: [N, hr, wr] int32 residual planes with hr % 8 == 0 and
     wr >= round_up(w - 4, 128) + RMW_C - 128 (544 for 512-wide tiles).
     meta: [N, S, 8] int32 per-step scalars; src: [N, S, 2, 65] uint8.
+    counts: optional [N] int32 real TU count per tile (loop bound).
     Returns [N, h, w] int32 reconstructed planes.
     """
     n, s_steps = meta.shape[0], meta.shape[1]
+    if counts is None:
+        counts = jnp.full((n,), s_steps, jnp.int32)
+    counts = counts.astype(jnp.int32).reshape(n, 1)
     src = src.reshape(n, s_steps, N_REF)  # flatten (2,65) -> 130 lanes
     hp = _round_up(1 + h + SPAD, 8)
     wp = _round_up(1 + w + SPAD, 128)
@@ -328,6 +335,7 @@ def intra_scan_pallas(
         kernel,
         grid=(n,),
         in_specs=[
+            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, s_steps, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -347,7 +355,7 @@ def intra_scan_pallas(
             (1, rh, rw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, rh, rw), jnp.int32),
-        input_output_aliases={2: 0},
+        input_output_aliases={3: 0},
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.int32),   # plane
             pltpu.VMEM((wp, hp if hp % 128 == 0 else _round_up(hp, 128)),
@@ -356,7 +364,7 @@ def intra_scan_pallas(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(meta, src, res, wtab, bias, shift)
+    )(counts, meta, src, res, wtab, bias, shift)
     return out[:, 1 : 1 + h, 1 : 1 + w]
 
 

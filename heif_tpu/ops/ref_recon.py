@@ -109,8 +109,8 @@ def residual_planes(
 def z_order_plane(width: int, height: int, ctb_log2: int) -> np.ndarray:
     """Z-scan address per 4x4 luma block (§6.5.1 MinTbAddrZs equivalent)."""
     g4w, g4h = width >> 2, height >> 2
-    xs = np.arange(g4w, dtype=np.int64)
-    ys = np.arange(g4h, dtype=np.int64)
+    xs = np.arange(g4w, dtype=np.int32)
+    ys = np.arange(g4h, dtype=np.int32)
     gx, gy = np.meshgrid(xs, ys)
     cl = ctb_log2 - 2  # 4x4 units per CTB side (log2)
     ctbs_x = -(-g4w // (1 << cl))
