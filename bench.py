@@ -21,7 +21,7 @@ def main():
     from heif_tpu.hevc import slice as sl
     from heif_tpu.hevc.rbsp import remove_emulation_prevention
     from heif_tpu import native
-    from heif_tpu.ops.batch import pack_batch, reconstruct_batch
+    from heif_tpu.ops.batch import reconstruct_pipelined
 
     data = open("tests/assets/halfmoonbay.heic", "rb").read()
 
@@ -53,9 +53,8 @@ def main():
 
             syntaxes = [TileSyntaxDecoder(sps, pps, p).decode() for p in slices]
         t1 = time.perf_counter()
-        bp = pack_batch(syntaxes, sps, pps, slices)
         t2 = time.perf_counter()
-        planes = reconstruct_batch(bp)
+        planes = reconstruct_pipelined(syntaxes, sps, pps, slices)
         t3 = time.perf_counter()
         # stitch + crop (host)
         th = tw = 512
@@ -68,13 +67,17 @@ def main():
         t4 = time.perf_counter()
         return y, (t1 - t0, t2 - t1, t3 - t2, t4 - t3)
 
-    # warmup (jit compile)
+    # warmup (jit compile + page-fault warm-in: first-touch faults cost
+    # ~300us/page on these microVM hosts, see utils/hostmem.py)
+    import gc
+
     y, _ = decode_once()
     mp = (y.shape[0] * y.shape[1]) / 1e6
 
     times = []
     breakdowns = []
-    for _ in range(3):
+    for _ in range(5):
+        gc.collect()
         t0 = time.perf_counter()
         y, bd = decode_once()
         times.append(time.perf_counter() - t0)

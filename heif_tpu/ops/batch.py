@@ -67,8 +67,17 @@ class BatchPlan:
     strong_smoothing: bool
 
 
-def pack_batch(syntaxes, sps, pps, slices) -> BatchPlan:
-    """Pack N tiles (same SPS/PPS geometry) into one BatchPlan."""
+def pack_batch(
+    syntaxes, sps, pps, slices, n_steps=None, class_caps=None
+) -> BatchPlan:
+    """Pack N tiles (same SPS/PPS geometry) into one BatchPlan.
+
+    n_steps / class_caps: optional shared shape overrides so several
+    chunks of one image compile to identical programs (see
+    reconstruct_pipelined). class_caps maps (comp, size) -> padded block
+    count; padding rows are all-zero (zero coeffs scatter zero residual
+    at flat index 0, a no-op).
+    """
     from heif_tpu.utils.hostmem import tune_allocator
 
     tune_allocator()
@@ -76,7 +85,8 @@ def pack_batch(syntaxes, sps, pps, slices) -> BatchPlan:
     counts = np.stack(
         [np.bincount(st.tu_table[:, 0], minlength=3) for st in syntaxes]
     )
-    n_steps = [max(1, -(-int(s) // 64) * 64) for s in counts.max(axis=0)]
+    if n_steps is None:
+        n_steps = [max(1, -(-int(s) // 64) * 64) for s in counts.max(axis=0)]
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -120,13 +130,40 @@ def pack_batch(syntaxes, sps, pps, slices) -> BatchPlan:
                         + (oy + iy) * np.int32(w + PAD)
                         + (ox + ix)
                     )
-        if blocks:
-            tc_coeffs[(comp, size)] = np.concatenate(blocks)
-            tc_qp[(comp, size)] = np.concatenate(qps)
-            tc_dst[(comp, size)] = np.concatenate(dsts)
-            tc_skip[(comp, size)] = np.concatenate(skips)
-            tc_bypass[(comp, size)] = np.concatenate(byps)
-            tc_flat[(comp, size)] = np.concatenate(flats).reshape(-1)
+        cap = None if class_caps is None else class_caps.get((comp, size), 0)
+        if blocks or cap:
+            k = (comp, size)
+            tc_coeffs[k] = (
+                np.concatenate(blocks)
+                if blocks
+                else np.zeros((0, size, size), np.int16)
+            )
+            tc_qp[k] = np.concatenate(qps) if qps else np.zeros(0, np.int32)
+            tc_dst[k] = np.concatenate(dsts) if dsts else np.zeros(0, bool)
+            tc_skip[k] = np.concatenate(skips) if skips else np.zeros(0, bool)
+            tc_bypass[k] = np.concatenate(byps) if byps else np.zeros(0, bool)
+            tc_flat[k] = (
+                np.concatenate(flats).reshape(-1)
+                if flats
+                else np.zeros(0, np.int32)
+            )
+            if cap is not None:
+                have = tc_coeffs[k].shape[0]
+                assert have <= cap, f"class {k}: {have} > cap {cap}"
+                padn = cap - have
+                if padn:
+                    tc_coeffs[k] = np.concatenate(
+                        [tc_coeffs[k], np.zeros((padn, size, size), np.int16)]
+                    )
+                    tc_qp[k] = np.concatenate([tc_qp[k], np.zeros(padn, np.int32)])
+                    tc_dst[k] = np.concatenate([tc_dst[k], np.zeros(padn, bool)])
+                    tc_skip[k] = np.concatenate([tc_skip[k], np.zeros(padn, bool)])
+                    tc_bypass[k] = np.concatenate(
+                        [tc_bypass[k], np.zeros(padn, bool)]
+                    )
+                    tc_flat[k] = np.concatenate(
+                        [tc_flat[k], np.zeros(padn * size * size, np.int32)]
+                    )
 
     xs = []
     counts = []
@@ -377,6 +414,108 @@ def _pallas_ok(bp: BatchPlan) -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def _dispatch_core(bp: BatchPlan):
+    """Launch the jitted core asynchronously; returns device plane arrays."""
+    tc_arrays = {
+        k: (
+            jnp.asarray(bp.tc_coeffs[k]),
+            jnp.asarray(bp.tc_qp[k]),
+            jnp.asarray(bp.tc_dst[k]),
+            jnp.asarray(bp.tc_skip[k]),
+            jnp.asarray(bp.tc_bypass[k]),
+            jnp.asarray(bp.tc_flat[k]),
+        )
+        for k in bp.tc_coeffs
+    }
+    scaling = {k: jnp.asarray(v) for k, v in bp.scaling.items()}
+    xs = [tuple(jnp.asarray(a) for a in t) for t in bp.xs]
+    counts = tuple(jnp.asarray(c) for c in bp.counts)
+    pcm = [None if p is None else jnp.asarray(p) for p in bp.pcm]
+    return _core_jit(
+        tc_arrays, scaling, xs, counts, pcm,
+        jnp.asarray(bp.qp_map), jnp.asarray(bp.nf_map),
+        jnp.asarray(bp.vert_edges), jnp.asarray(bp.horiz_edges),
+        jnp.asarray(bp.sao),
+        n=bp.n, H=bp.height, W=bp.width,
+        deblock_disabled=bp.deblock_disabled,
+        sao_luma=bp.sao_luma, sao_chroma=bp.sao_chroma,
+        beta_off=bp.beta_off, tc_off=bp.tc_off,
+        cb_qp_off=bp.cb_qp_off, cr_qp_off=bp.cr_qp_off,
+        strong_smoothing=bp.strong_smoothing,
+        use_pallas=_pallas_ok(bp),
+    )
+
+
+def _chunk_shapes(syntaxes, chunk: int):
+    """Shared (n_steps, class_caps) over all chunks of a tile list, so
+    every chunk hits the same compiled program."""
+    n = len(syntaxes)
+    n_chunks = -(-n // chunk)
+    steps = np.zeros((n_chunks, 3), np.int64)
+    caps: dict = {}
+    per_chunk: list[dict] = [dict() for _ in range(n_chunks)]
+    for i, st in enumerate(syntaxes):
+        ci = i // chunk
+        from heif_tpu.cabac import types as T
+
+        tt = st.tu_table
+        cnt = np.bincount(tt[:, T.TU_COMP], minlength=3)
+        steps[ci] = np.maximum(steps[ci], cnt)
+        live = (tt[:, T.TU_CBF] != 0) & (tt[:, T.TU_PCM] == 0)
+        key = tt[live, T.TU_COMP] * 8 + tt[live, T.TU_LOG2]
+        kc = np.bincount(key, minlength=48)
+        d = per_chunk[ci]
+        for comp in range(3):
+            for log2 in range(2, 6):
+                c = int(kc[comp * 8 + log2])
+                if c:
+                    k = (comp, 1 << log2)
+                    d[k] = d.get(k, 0) + c
+    n_steps = [max(1, -(-int(s) // 64) * 64) for s in steps.max(axis=0)]
+    for d in per_chunk:
+        for k, v in d.items():
+            caps[k] = max(caps.get(k, 0), v)
+    # round caps up to limit distinct compiled shapes across images
+    caps = {k: -(-v // 256) * 256 for k, v in caps.items()}
+    return n_steps, caps
+
+
+def reconstruct_pipelined(
+    syntaxes, sps, pps, slices, chunk: int = 12
+) -> list:
+    """Chunked decode pipeline: host packing of chunk k+1 overlaps device
+    compute of chunk k, and device->host plane readback (the slowest link
+    on tunneled TPU hosts) overlaps both. All chunks share one compiled
+    program shape. Returns [Y, Cb, Cr] stacked numpy planes."""
+    n = len(syntaxes)
+    if n <= chunk:
+        bp = pack_batch(syntaxes, sps, pps, slices)
+        return [np.asarray(p) for p in _dispatch_core(bp)]
+    pad = (-n) % chunk
+    if pad:
+        syntaxes = list(syntaxes) + [syntaxes[-1]] * pad
+        slices = list(slices) + [slices[-1]] * pad
+    n_steps, caps = _chunk_shapes(syntaxes, chunk)
+    outs = []
+    for lo in range(0, len(syntaxes), chunk):
+        bp = pack_batch(
+            syntaxes[lo : lo + chunk],
+            sps, pps,
+            slices[lo : lo + chunk],
+            n_steps=n_steps,
+            class_caps=caps,
+        )
+        planes = _dispatch_core(bp)  # async dispatch
+        for p in planes:
+            p.copy_to_host_async()
+        outs.append(planes)
+    full = [
+        np.concatenate([np.asarray(o[c]) for o in outs], axis=0)[:n]
+        for c in range(3)
+    ]
+    return full
 
 
 def reconstruct_batch(bp: BatchPlan) -> list:

@@ -690,12 +690,11 @@ def reconstruct_tile_jax(plan: P.DecodePlan, sps, sh) -> list[np.ndarray]:
 
 
 def reconstruct_tiles_batched(syntaxes, sps, pps, slices) -> list:
-    """Decode-backend entry: pack all tiles into one BatchPlan and run the
-    jitted batched pipeline (ops.batch)."""
-    from heif_tpu.ops.batch import pack_batch, reconstruct_batch
+    """Decode-backend entry: chunked batched pipeline (overlaps host
+    packing, device compute and plane readback; see ops.batch)."""
+    from heif_tpu.ops.batch import reconstruct_pipelined
 
-    bp = pack_batch(syntaxes, sps, pps, slices)
-    planes = reconstruct_batch(bp)
+    planes = reconstruct_pipelined(syntaxes, sps, pps, slices)
     return [
         [planes[0][i], planes[1][i], planes[2][i]]
         for i in range(len(syntaxes))

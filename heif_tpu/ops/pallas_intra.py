@@ -68,14 +68,16 @@ def _weights_bf16() -> np.ndarray:
     return out
 
 
-_W_F32 = None
+_W_NP = None
 
 
 def _get_weights():
-    global _W_F32
-    if _W_F32 is None:
-        _W_F32 = jnp.asarray(_weights_bf16())
-    return _W_F32
+    # cache the host array only: caching a jnp array would capture a tracer
+    # when first called inside a jit trace
+    global _W_NP
+    if _W_NP is None:
+        _W_NP = _weights_bf16()
+    return jnp.asarray(_W_NP)
 
 
 def _f32(x):
