@@ -1,0 +1,80 @@
+"""Pallas CABAC engine: trace-replay bit-exactness on real streams.
+
+The trace (cabac/trace.py) records every (kind, ctx-slot, bin) the Python
+oracle engine decodes from halfmoonbay tile streams, plus each WPP
+substream's initial context state. The Pallas engine must reproduce the
+bins — and the final context state — from the raw bytes alone.
+
+Default suite replays a 128-bin prefix of all 16 WPP rows in interpret
+mode (CPU); the full-stream sweep runs under -m slow / on TPU.
+"""
+
+import numpy as np
+import pytest
+
+from heif_tpu.container.reader import HeifReader
+from heif_tpu.hevc import params
+from heif_tpu.hevc import slice as sl
+from heif_tpu.hevc.rbsp import remove_emulation_prevention
+from heif_tpu.cabac.trace import TraceSegment, trace_tile
+from heif_tpu.cabac.syntax import TileSyntaxDecoder
+from heif_tpu.ops.pallas_cabac import replay_segments
+
+
+@pytest.fixture(scope="module")
+def traced(halfmoonbay_bytes):
+    r = HeifReader(halfmoonbay_bytes)
+    heif = r.read()
+    rec = heif.hevc_configuration_record()
+    sps = params.parse_sps(
+        remove_emulation_prevention(rec.nal_units_of_type(33)[0][2:])
+    )
+    pps = params.parse_pps(
+        remove_emulation_prevention(rec.nal_units_of_type(34)[0][2:])
+    )
+    tid = heif.item_ids_referencing(heif.primary_item_id(), "dimg")[0]
+    parsed = sl.parse_slice_header(
+        sl.split_length_prefixed_nals(r.get_item_data(tid), 4)[0], sps, pps
+    )
+    segs = trace_tile(sps, pps, parsed)
+    rbsp = bytes(TileSyntaxDecoder(sps, pps, parsed).rbsp)
+    return rbsp, segs
+
+
+def _truncate(s: TraceSegment, k: int) -> TraceSegment:
+    t = TraceSegment(byte_start=s.byte_start, byte_end=s.byte_end)
+    t.p0, t.mps0 = s.p0, s.mps0
+    t.kinds = s.kinds[:k]
+    t.slots = s.slots[:k]
+    t.bins = s.bins[:k]
+    return t
+
+
+def test_trace_shape(traced):
+    rbsp, segs = traced
+    assert len(segs) == 16  # 16 WPP rows per 512x512 tile
+    assert all(s.n_bins > 0 for s in segs)
+    # row 0 initializes from spec tables; later rows inherit WPP snapshots
+    from heif_tpu.cabac.engine import init_context_state
+
+    p, mps = init_context_state(15)  # halfmoonbay SliceQP
+    assert np.array_equal(segs[0].p0, p)
+    assert np.array_equal(segs[0].mps0, mps)
+
+
+def test_replay_prefix_interpret(traced):
+    rbsp, segs = traced
+    trunc = [_truncate(s, 128) for s in segs]
+    out = replay_segments(rbsp, trunc, interpret=True, blk=128)
+    for i, (s, (bins, _, _)) in enumerate(zip(trunc, out)):
+        assert np.array_equal(bins, s.bins), f"segment {i} diverged"
+
+
+@pytest.mark.slow
+def test_replay_full_interpret(traced):
+    rbsp, segs = traced
+    out = replay_segments(rbsp, segs, interpret=True)
+    for i, (s, (bins, p_f, mps_f)) in enumerate(zip(segs, out)):
+        assert np.array_equal(bins, s.bins), f"segment {i} diverged"
+        assert np.array_equal(p_f, s.p_final), f"segment {i} pState final"
+        assert np.array_equal(mps_f, s.mps_final), f"segment {i} MPS final"
