@@ -24,6 +24,35 @@ from heif_tpu.utils.hostmem import tune_allocator as _tune_allocator
 
 _tune_allocator()  # see utils/hostmem.py: fault-expensive microVM hosts
 
+
+def _enable_jit_cache() -> None:
+    """Persistent XLA compilation cache: decode programs compile in
+    minutes on tunneled TPU hosts but are identical across processes, so
+    cache them on disk (first CLI run pays, every later one is warm).
+    Opt out with HEIF_TPU_NO_JIT_CACHE=1."""
+    import os
+
+    if os.environ.get("HEIF_TPU_NO_JIT_CACHE"):
+        return
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "heif_tpu", "xla"
+            ),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # jax absent or too old for these flags
+        pass
+
+
+_enable_jit_cache()
+
 from heif_tpu.container.reader import HeifReader
 from heif_tpu.models.decoder import HeicDecoder
 

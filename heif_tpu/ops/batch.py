@@ -45,7 +45,11 @@ class BatchPlan:
     tc_dst: dict
     tc_skip: dict
     tc_bypass: dict
-    tc_flat: dict  # flat scatter indices into [N*(h+PAD)*(w+PAD)]
+    # per-BLOCK flat scatter origin into [N*(h+PAD)*(w+PAD)]; the device
+    # expands to per-sample indices (origin + iy*stride + ix) — shipping
+    # one int32 per block instead of size^2 keeps the host->device
+    # transfer (the tunnel bottleneck) ~20x smaller for this tensor
+    tc_org: dict
     scaling: dict
     # scans: per comp tuple of [N, S, ...] arrays
     xs: list
@@ -57,6 +61,7 @@ class BatchPlan:
     vert_edges: np.ndarray
     horiz_edges: np.ndarray
     sao: np.ndarray
+    ctb_log2: int
     deblock_disabled: bool
     sao_luma: bool
     sao_chroma: bool
@@ -97,7 +102,9 @@ def pack_batch(
     ) as ex:
         plans = list(
             ex.map(
-                lambda a: P.pack_tile(a[0], sps, pps, a[1].header, n_steps),
+                lambda a: P.pack_tile(
+                    a[0], sps, pps, a[1].header, n_steps, with_src=False
+                ),
                 zip(syntaxes, slices),
             )
         )
@@ -105,11 +112,11 @@ def pack_batch(
     H, W = plans[0].height, plans[0].width
     Hc, Wc = H // 2, W // 2
 
-    tc_coeffs, tc_qp, tc_dst, tc_skip, tc_bypass, tc_flat = (
+    tc_coeffs, tc_qp, tc_dst, tc_skip, tc_bypass, tc_org = (
         {}, {}, {}, {}, {}, {},
     )
     for comp, size in CLASSES:
-        blocks, qps, dsts, skips, byps, flats = [], [], [], [], [], []
+        blocks, qps, dsts, skips, byps, orgs = [], [], [], [], [], []
         h = H if comp == 0 else Hc
         w = W if comp == 0 else Wc
         stride = (h + PAD) * (w + PAD)
@@ -121,14 +128,10 @@ def pack_batch(
                     dsts.append(tc.dst)
                     skips.append(tc.skip)
                     byps.append(tc.bypass)
-                    oy = tc.pos[:, 0].astype(np.int32)[:, None, None]
-                    ox = tc.pos[:, 1].astype(np.int32)[:, None, None]
-                    iy = np.arange(size, dtype=np.int32)[None, :, None]
-                    ix = np.arange(size, dtype=np.int32)[None, None, :]
-                    flats.append(
-                        np.int32(ti * stride)
-                        + (oy + iy) * np.int32(w + PAD)
-                        + (ox + ix)
+                    oy = tc.pos[:, 0].astype(np.int32)
+                    ox = tc.pos[:, 1].astype(np.int32)
+                    orgs.append(
+                        np.int32(ti * stride) + oy * np.int32(w + PAD) + ox
                     )
         cap = None if class_caps is None else class_caps.get((comp, size), 0)
         if blocks or cap:
@@ -142,10 +145,8 @@ def pack_batch(
             tc_dst[k] = np.concatenate(dsts) if dsts else np.zeros(0, bool)
             tc_skip[k] = np.concatenate(skips) if skips else np.zeros(0, bool)
             tc_bypass[k] = np.concatenate(byps) if byps else np.zeros(0, bool)
-            tc_flat[k] = (
-                np.concatenate(flats).reshape(-1)
-                if flats
-                else np.zeros(0, np.int32)
+            tc_org[k] = (
+                np.concatenate(orgs) if orgs else np.zeros(0, np.int32)
             )
             if cap is not None:
                 have = tc_coeffs[k].shape[0]
@@ -161,15 +162,15 @@ def pack_batch(
                     tc_bypass[k] = np.concatenate(
                         [tc_bypass[k], np.zeros(padn, bool)]
                     )
-                    tc_flat[k] = np.concatenate(
-                        [tc_flat[k], np.zeros(padn * size * size, np.int32)]
+                    tc_org[k] = np.concatenate(
+                        [tc_org[k], np.zeros(padn, np.int32)]
                     )
 
     xs = []
     counts = []
     for c in range(3):
         fields = []
-        for name in ("x", "y", "size", "mode", "filter_flag", "pcm", "src"):
+        for name in ("x", "y", "size", "mode", "filter_flag", "pcm"):
             fields.append(np.stack([getattr(p.comp_plans[c], name) for p in plans]))
         xs.append(tuple(fields))
         counts.append(
@@ -199,7 +200,7 @@ def pack_batch(
         tc_dst=tc_dst,
         tc_skip=tc_skip,
         tc_bypass=tc_bypass,
-        tc_flat=tc_flat,
+        tc_org=tc_org,
         scaling=p0.scaling,
         xs=xs,
         counts=counts,
@@ -209,6 +210,7 @@ def pack_batch(
         vert_edges=np.stack([p.vert_edges for p in plans]),
         horiz_edges=np.stack([p.horiz_edges for p in plans]),
         sao=np.stack([p.sao for p in plans]).astype(np.int32),
+        ctb_log2=sps.ctb_log2_size_y,
         deblock_disabled=p0.deblock_disabled,
         sao_luma=p0.sao_luma,
         sao_chroma=p0.sao_chroma,
@@ -227,7 +229,7 @@ def pack_batch(
 
 def _meta_from_xs(xs_c):
     """[N, S, 8] pallas meta tensor from the packed per-step fields."""
-    x, y, size, mode, filt, _pcm, _src = xs_c
+    x, y, size, mode, filt, _pcm = xs_c[:6]
     log2 = (
         (size == 4) * 2 + (size == 8) * 3 + (size == 16) * 4 + (size == 32) * 5
     )
@@ -239,14 +241,14 @@ def _meta_from_xs(xs_c):
 
 
 def _core(
-    tc_arrays,  # dict (comp,size) -> (coeffs, qp, dst, skip, bypass, flat)
+    tc_arrays,  # dict (comp,size) -> (coeffs, qp, dst, skip, bypass, org)
     scaling,  # dict (size, comp) -> matrix
     xs,  # list of 3 tuples of [N, S, ...]
     counts,  # tuple of 3 [N] int32 real TU counts
     pcm,  # list of 3 ([N,h+PAD,w+PAD] or None)
     qp_map, nf_map, vert_edges, horiz_edges, sao,
     *,
-    n, H, W, deblock_disabled, sao_luma, sao_chroma,
+    n, H, W, ctb_log2, deblock_disabled, sao_luma, sao_chroma,
     beta_off, tc_off, cb_qp_off, cr_qp_off, strong_smoothing, use_pallas,
 ):
     Hc, Wc = H // 2, W // 2
@@ -256,10 +258,15 @@ def _core(
     res_flat = [
         jnp.zeros((n * (h + PAD) * (w + PAD),), jnp.int32) for h, w in dims
     ]
-    for (comp, size), (coeffs, qp, dst, skip, bypass, flat) in tc_arrays.items():
+    for (comp, size), (coeffs, qp, dst, skip, bypass, org) in tc_arrays.items():
         r = J.residual_class(
             coeffs, qp, dst, skip, bypass, scaling[(size, comp)], size
         )
+        # expand per-block origins to per-sample flat indices on device
+        h, w = dims[comp]
+        iy = jnp.arange(size, dtype=jnp.int32)[None, :, None]
+        ix = jnp.arange(size, dtype=jnp.int32)[None, None, :]
+        flat = (org[:, None, None] + iy * (w + PAD) + ix).reshape(-1)
         res_flat[comp] = res_flat[comp].at[flat].add(r.reshape(-1))
     res = [
         res_flat[c].reshape(n, dims[c][0] + PAD, dims[c][1] + PAD)
@@ -267,6 +274,15 @@ def _core(
     ]
 
     # ---- stage 2: intra scans ----
+    # reference-source tables computed on device (ships ~50 B of scalars
+    # per TU over the host link instead of the 130-byte uint8 table)
+    srcs = [
+        J.ref_sources_device(
+            xs[c][0], xs[c][1], xs[c][2],
+            comp=c, W=W, H=H, ctb_log2=ctb_log2,
+        )
+        for c in range(3)
+    ]
     planes = []
     if use_pallas:
         # one VMEM-resident Pallas program per tile (see ops.pallas_intra);
@@ -278,7 +294,7 @@ def _core(
             plane = PI.intra_scan_pallas(
                 res[c],
                 _meta_from_xs(xs[c]),
-                xs[c][6],
+                srcs[c],
                 h,
                 w,
                 is_luma=(c == 0),
@@ -300,7 +316,7 @@ def _core(
                 is_luma=(c == 0),
                 strong_smoothing=strong_smoothing,
             )
-            plane = jax.vmap(scan_fn)(plane0, res[c], pcm_c, xs[c])
+            plane = jax.vmap(scan_fn)(plane0, res[c], pcm_c, xs[c] + (srcs[c],))
             planes.append(plane[:, 1 : 1 + h, 1 : 1 + w])
 
     # ---- stage 3: deblock ----
@@ -394,7 +410,7 @@ def _core(
 _core_jit = jax.jit(
     _core,
     static_argnames=(
-        "n", "H", "W", "deblock_disabled", "sao_luma", "sao_chroma",
+        "n", "H", "W", "ctb_log2", "deblock_disabled", "sao_luma", "sao_chroma",
         "beta_off", "tc_off", "cb_qp_off", "cr_qp_off", "strong_smoothing",
         "use_pallas",
     ),
@@ -425,7 +441,7 @@ def _dispatch_core(bp: BatchPlan):
             jnp.asarray(bp.tc_dst[k]),
             jnp.asarray(bp.tc_skip[k]),
             jnp.asarray(bp.tc_bypass[k]),
-            jnp.asarray(bp.tc_flat[k]),
+            jnp.asarray(bp.tc_org[k]),
         )
         for k in bp.tc_coeffs
     }
@@ -438,7 +454,7 @@ def _dispatch_core(bp: BatchPlan):
         jnp.asarray(bp.qp_map), jnp.asarray(bp.nf_map),
         jnp.asarray(bp.vert_edges), jnp.asarray(bp.horiz_edges),
         jnp.asarray(bp.sao),
-        n=bp.n, H=bp.height, W=bp.width,
+        n=bp.n, H=bp.height, W=bp.width, ctb_log2=bp.ctb_log2,
         deblock_disabled=bp.deblock_disabled,
         sao_luma=bp.sao_luma, sao_chroma=bp.sao_chroma,
         beta_off=bp.beta_off, tc_off=bp.tc_off,
@@ -528,7 +544,7 @@ def reconstruct_batch(bp: BatchPlan) -> list:
             jnp.asarray(bp.tc_dst[k]),
             jnp.asarray(bp.tc_skip[k]),
             jnp.asarray(bp.tc_bypass[k]),
-            jnp.asarray(bp.tc_flat[k]),
+            jnp.asarray(bp.tc_org[k]),
         )
         for k in bp.tc_coeffs
     }
@@ -550,6 +566,7 @@ def reconstruct_batch(bp: BatchPlan) -> list:
         n=bp.n,
         H=bp.height,
         W=bp.width,
+        ctb_log2=bp.ctb_log2,
         deblock_disabled=bp.deblock_disabled,
         sao_luma=bp.sao_luma,
         sao_chroma=bp.sao_chroma,

@@ -234,6 +234,99 @@ def scatter_blocks(plane, blocks, pos, size: int, width: int):
 
 
 # ==========================================================================
+# Stage 2a: reference-source resolution on device
+# ==========================================================================
+#
+# The per-TU reference source table (availability per §6.4.1 + the
+# §8.4.4.2.2 substitution scan) used to be packed on host and shipped as
+# a [N, S, 2, 65] uint8 tensor — ~1.5 MB per tile, the single largest
+# host->device transfer (the TPU tunnel moves ~50 MB/s, so this dominated
+# e2e latency). It is fully derivable from (x, y, size) plus the z-scan
+# order, and the z-scan address is closed-form bit math (raster CTB index
+# + Morton interleave within the CTB — see ops.ref_recon.z_order_plane),
+# so the whole table is now computed on device with no gathers from any
+# z-plane: ~50 bytes of scalars per TU go over the wire instead.
+
+
+def _z_addr(g4y, g4x, cl: int, ctbs_x: int):
+    """Z-scan address of a 4x4 block at grid coords (g4y, g4x)."""
+    ctb_idx = (g4y >> cl) * ctbs_x + (g4x >> cl)
+    ix = g4x & ((1 << cl) - 1)
+    iy = g4y & ((1 << cl) - 1)
+    z = jnp.zeros_like(g4x)
+    for b in range(cl):
+        z = z | (((ix >> b) & 1) << (2 * b))
+        z = z | (((iy >> b) & 1) << (2 * b + 1))
+    return (ctb_idx << (2 * cl)) + z
+
+
+def ref_sources_device(x, y, size, *, comp: int, W: int, H: int,
+                       ctb_log2: int):
+    """Device twin of pack._ref_sources_batch for mixed TU sizes.
+
+    x/y/size: int32 arrays of any matching shape [...] (component coords;
+    size == 0 marks padding steps). Returns uint8 [..., 2, REF_LEN] local
+    reference-vector indices, 255 = unavailable — bit-identical to the
+    host packer (cross-checked in tests/test_jax_recon.py).
+    """
+    sub = 1 if comp == 0 else 2
+    cl = ctb_log2 - 2
+    ctbs_x = -(-(W >> 2) // (1 << cl))
+    x = x.astype(jnp.int32)
+    y = y.astype(jnp.int32)
+    s2 = (2 * size).astype(jnp.int32)[..., None]
+
+    walk = jnp.arange(4 * MAX_S + 1, dtype=jnp.int32)  # [129]
+    is_left = walk <= s2
+    cx = jnp.where(is_left, x[..., None] - 1, x[..., None] + (walk - s2 - 1))
+    cy = jnp.where(is_left, y[..., None] + (s2 - 1 - walk), y[..., None] - 1)
+    lx = cx * sub
+    ly = cy * sub
+    inb = (lx >= 0) & (ly >= 0) & (lx < W) & (ly < H)
+    z_cur = _z_addr((y * sub) >> 2, (x * sub) >> 2, cl, ctbs_x)[..., None]
+    zn = _z_addr(
+        jnp.clip(ly, 0, H - 1) >> 2, jnp.clip(lx, 0, W - 1) >> 2, cl, ctbs_x
+    )
+    avail = inb & (zn < z_cur) & (walk <= 2 * s2)
+
+    any_avail = avail.any(-1)
+    first_avail = jnp.argmax(avail, axis=-1).astype(jnp.int32)
+    idx = jnp.where(avail, walk, jnp.int32(-1))
+    idx = jnp.where(
+        walk == 0,
+        jnp.where(avail[..., :1], 0, first_avail[..., None]),
+        idx,
+    )
+    src_walk = lax.cummax(idx, axis=idx.ndim - 1)
+    src_ok = any_avail[..., None] & (src_walk >= 0)
+
+    local_of_walk = jnp.where(
+        src_walk <= s2, s2 - src_walk, src_walk - s2 + REF_LEN
+    )
+    local_of_walk = jnp.where(src_ok, local_of_walk, 255)
+
+    # walk layout -> (left[65], top[65]) sides
+    i64 = jnp.arange(2 * MAX_S, dtype=jnp.int32)  # [64]
+    corner = jnp.take_along_axis(local_of_walk, s2, axis=-1)  # [..., 1]
+    lidx = jnp.clip(s2 - 1 - i64, 0, 4 * MAX_S)
+    left_vals = jnp.where(
+        i64 < s2, jnp.take_along_axis(local_of_walk, lidx, axis=-1), 255
+    )
+    tidx = jnp.clip(s2 + 1 + i64, 0, 4 * MAX_S)
+    top_vals = jnp.where(
+        i64 < s2, jnp.take_along_axis(local_of_walk, tidx, axis=-1), 255
+    )
+    pad_mask = (size > 0)[..., None]
+    left_side = jnp.where(
+        pad_mask, jnp.concatenate([corner, left_vals], axis=-1), 255
+    )
+    top_side = jnp.where(
+        pad_mask, jnp.concatenate([corner, top_vals], axis=-1), 255
+    )
+    return jnp.stack([left_side, top_side], axis=-2).astype(jnp.uint8)
+
+
+# ==========================================================================
 # Stage 2: intra prediction scan (per component)
 # ==========================================================================
 

@@ -264,11 +264,15 @@ def pack_tile(
     pps: g.PictureParameterSet,
     sh: g.SliceSegmentHeader,
     n_steps: list[int] | None = None,
+    with_src: bool = True,
 ) -> DecodePlan:
     """Build the DecodePlan for one tile.
 
     n_steps: optional per-component padded scan lengths (for batching
-    tiles into one jitted program).
+    tiles into one jitted program). with_src=False skips the host
+    reference-source tables (the batched path computes them on device,
+    ops.jax_recon.ref_sources_device — they are the largest packed tensor
+    and the host->device link is the bottleneck).
     """
     plan = DecodePlan(width=st.width, height=st.height)
     z4 = z_order_plane(st.width, st.height, sps.ctb_log2_size_y)
@@ -290,7 +294,9 @@ def pack_tile(
             mode=np.zeros(n, dtype=np.int32),
             filter_flag=np.zeros(n, dtype=np.int32),
             pcm=np.zeros(n, dtype=np.int32),
-            src=np.full((n, 2, REF_LEN), 255, dtype=np.uint8),
+            src=np.full(
+                (n if with_src else 1, 2, REF_LEN), 255, dtype=np.uint8
+            ),
         )
         cp.x[:n_real] = rows[:, T.TU_X]
         cp.y[:n_real] = rows[:, T.TU_Y]
@@ -301,7 +307,7 @@ def pack_tile(
             cp.filter_flag[:n_real] = _luma_filter_flags_vec(
                 cp.size[:n_real], cp.mode[:n_real]
             )
-        if n_real:
+        if n_real and with_src:
             cp.src[:n_real] = _ref_sources_batch(
                 z4, st.width, st.height, c,
                 cp.x[:n_real], cp.y[:n_real], cp.size[:n_real],

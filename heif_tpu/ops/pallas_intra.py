@@ -372,7 +372,7 @@ def intra_scan_pallas(
 
 def build_meta(xs_fields) -> np.ndarray:
     """Assemble the [N, S, 8] meta array from packed per-step fields."""
-    x, y, size, mode, filt, pcm, _src = xs_fields
+    x, y, size, mode, filt, pcm = xs_fields[:6]
     n, s_steps = x.shape
     meta = np.zeros((n, s_steps, 8), dtype=np.int32)
     meta[:, :, M_TX] = x

@@ -93,3 +93,39 @@ def test_residual_class_matches_reference():
             d = dequant_block(coeffs[i], int(qp[i]), size, 0, lists)
             want = inverse_transform(d, use_dst=bool(dst[i]))
             assert (got[i] == want).all(), f"size {size} block {i}"
+
+
+def test_ref_sources_device_matches_host_packer(decoded):
+    """Device-side availability/substitution (closed-form z-scan, no
+    gathers) is bit-identical to the host packer's uint8 src tables on
+    real halfmoonbay tiles (all components, mixed TU sizes)."""
+    import jax
+    from heif_tpu.ops import jax_recon as J
+    from heif_tpu.ops import pack as P
+
+    sps, pps, tids, sts, pss, golds = decoded
+    for st in sts:
+        z4 = R.z_order_plane(st.width, st.height, sps.ctb_log2_size_y)
+        tt = st.tu_table
+        from heif_tpu.cabac import types as T
+
+        for c in range(3):
+            rows = tt[tt[:, T.TU_COMP] == c]
+            x = rows[:, T.TU_X].astype(np.int32)
+            y = rows[:, T.TU_Y].astype(np.int32)
+            size = (1 << rows[:, T.TU_LOG2]).astype(np.int32)
+            host = P._ref_sources_batch(z4, st.width, st.height, c, x, y, size)
+            # padding steps (size == 0) must come back all-255
+            xp = np.concatenate([x, np.zeros(3, np.int32)])
+            yp = np.concatenate([y, np.zeros(3, np.int32)])
+            sp = np.concatenate([size, np.zeros(3, np.int32)])
+            dev = np.asarray(
+                jax.jit(
+                    lambda a, b, s: J.ref_sources_device(
+                        a, b, s, comp=c, W=st.width, H=st.height,
+                        ctb_log2=sps.ctb_log2_size_y,
+                    )
+                )(xp, yp, sp)
+            )
+            np.testing.assert_array_equal(dev[: len(x)], host)
+            assert (dev[len(x):] == 255).all()

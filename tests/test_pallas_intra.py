@@ -47,11 +47,17 @@ def test_pallas_intra_interpret_bit_exact(halfmoonbay_bytes, comp):
         res_np[i, :h, :w] = rp[comp]
         refs.append(R.intra_reconstruct(st, rp, sps)[comp])
     meta = PI.build_meta(bp.xs[comp])
+    src = J.ref_sources_device(
+        jnp.asarray(bp.xs[comp][0]),
+        jnp.asarray(bp.xs[comp][1]),
+        jnp.asarray(bp.xs[comp][2]),
+        comp=comp, W=bp.width, H=bp.height, ctb_log2=sps.ctb_log2_size_y,
+    )
     out = np.asarray(
         PI.intra_scan_pallas(
             jnp.asarray(res_np),
             jnp.asarray(meta),
-            jnp.asarray(bp.xs[comp][6]),
+            src,
             h, w, comp == 0, False,
             interpret=True,
         )
