@@ -21,7 +21,7 @@ def main():
     from heif_tpu.hevc import slice as sl
     from heif_tpu.hevc.rbsp import remove_emulation_prevention
     from heif_tpu import native
-    from heif_tpu.ops.batch import reconstruct_pipelined
+    from heif_tpu.ops.batch import decode_reconstruct_overlapped
 
     data = open("tests/assets/halfmoonbay.heic", "rb").read()
 
@@ -46,15 +46,10 @@ def main():
             )
             for t in tile_ids
         ]
-        if native.available():
-            syntaxes = native.decode_tiles_parallel(sps, pps, slices)
-        else:
-            from heif_tpu.cabac.syntax import TileSyntaxDecoder
-
-            syntaxes = [TileSyntaxDecoder(sps, pps, p).decode() for p in slices]
         t1 = time.perf_counter()
         t2 = time.perf_counter()
-        planes = reconstruct_pipelined(syntaxes, sps, pps, slices)
+        # host entropy (C++ CABAC) overlaps device reconstruction per chunk
+        planes = decode_reconstruct_overlapped(sps, pps, slices)
         t3 = time.perf_counter()
         # stitch + crop (host)
         th = tw = 512
@@ -85,7 +80,7 @@ def main():
     best = min(times)
     bd = breakdowns[times.index(best)]
     print(
-        f"# best {best:.3f}s  entropy {bd[0]:.3f}s pack {bd[1]:.3f}s "
+        f"# best {best:.3f}s  hdr {bd[0]:.3f}s "
         f"recon {bd[2]:.3f}s stitch {bd[3]:.3f}s  ({mp:.1f} MP)",
         file=sys.stderr,
     )

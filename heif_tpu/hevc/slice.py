@@ -82,7 +82,11 @@ def parse_slice_header(
     if not nt.is_vcl:
         raise ValueError(f"not a VCL NAL: {nt.name}")
     payload = nal[2:]
-    rbsp = remove_emulation_prevention(payload)
+    # vectorized de-emulation: tile payloads are tens of KB and this runs
+    # once per tile on the critical path
+    rbsp = remove_emulation_prevention_np(
+        np.frombuffer(payload, dtype=np.uint8)
+    ).tobytes()
     # map from emulation-prevented byte index -> de-emulated byte index
     # (needed for exact entry-point conversion)
     r = BitReader(rbsp)

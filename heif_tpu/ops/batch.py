@@ -534,6 +534,82 @@ def reconstruct_pipelined(
     return full
 
 
+# sticky per-geometry shape cache: grown monotonically so every chunk of
+# every image with the same tile geometry converges on ONE compiled program
+# (warmup absorbs the growth recompiles; steady state is a single shape)
+_sticky_shapes: dict = {}
+
+
+def _merge_sticky(key, n_steps, caps):
+    prev = _sticky_shapes.get(key)
+    if prev is not None:
+        pn, pc = prev
+        n_steps = [max(a, b) for a, b in zip(n_steps, pn)]
+        merged = dict(pc)
+        for k, v in caps.items():
+            merged[k] = max(merged.get(k, 0), v)
+        caps = merged
+    _sticky_shapes[key] = (n_steps, dict(caps))
+    return n_steps, caps
+
+
+def decode_reconstruct_overlapped(
+    sps, pps, slices, entropy_fn=None, chunk: int = 12
+) -> list:
+    """Full tile decode with host entropy overlapped against device compute.
+
+    Entropy (C++ CABAC, threaded) for chunk k+1 runs on a background
+    thread while chunk k is packed and dispatched to the TPU; plane
+    readback is async. The serial critical path collapses to
+    max(device compute, host entropy) + first-chunk entropy.
+    Returns [Y, Cb, Cr] stacked numpy planes for all N tiles.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from heif_tpu import native
+
+    if entropy_fn is None:
+        if native.available():
+            entropy_fn = lambda ps: native.decode_tiles_parallel(sps, pps, ps)
+        else:
+            from heif_tpu.cabac.syntax import TileSyntaxDecoder
+
+            entropy_fn = lambda ps: [
+                TileSyntaxDecoder(sps, pps, p).decode() for p in ps
+            ]
+    n = len(slices)
+    chunks = [slices[lo : lo + chunk] for lo in range(0, n, chunk)]
+    key = (
+        sps.pic_width_in_luma_samples,
+        sps.pic_height_in_luma_samples,
+        sps.ctb_log2_size_y,
+        min(chunk, n),
+    )
+    outs = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = [ex.submit(entropy_fn, c) for c in chunks]
+        for fi, fut in enumerate(futs):
+            syn = list(fut.result())
+            sl_chunk = list(chunks[fi])
+            if len(syn) < chunk and len(chunks) > 1:
+                padn = chunk - len(syn)
+                syn += [syn[-1]] * padn
+                sl_chunk += [sl_chunk[-1]] * padn
+            n_steps, caps = _chunk_shapes(syn, len(syn))
+            n_steps, caps = _merge_sticky(key, n_steps, caps)
+            bp = pack_batch(
+                syn, sps, pps, sl_chunk, n_steps=n_steps, class_caps=caps
+            )
+            planes = _dispatch_core(bp)
+            for p in planes:
+                p.copy_to_host_async()
+            outs.append(planes)
+    return [
+        np.concatenate([np.asarray(o[c]) for o in outs], axis=0)[:n]
+        for c in range(3)
+    ]
+
+
 def reconstruct_batch(bp: BatchPlan) -> list:
     """Run the jitted batched pipeline; returns [N, H, W]-style planes as
     a list [Y, Cb, Cr] of numpy arrays."""
