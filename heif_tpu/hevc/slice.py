@@ -9,8 +9,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 from heif_tpu.hevc import grammar as g
-from heif_tpu.hevc.rbsp import BitReader, remove_emulation_prevention
+from heif_tpu.hevc.rbsp import (
+    BitReader,
+    remove_emulation_prevention,
+    remove_emulation_prevention_np,
+)
 
 
 def split_length_prefixed_nals(payload: bytes, length_size: int) -> list[bytes]:
