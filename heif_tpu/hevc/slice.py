@@ -12,11 +12,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from heif_tpu.hevc import grammar as g
-from heif_tpu.hevc.rbsp import (
-    BitReader,
-    remove_emulation_prevention,
-    remove_emulation_prevention_np,
-)
+from heif_tpu.hevc.rbsp import BitReader, remove_emulation_prevention_np
 
 
 def split_length_prefixed_nals(payload: bytes, length_size: int) -> list[bytes]:
