@@ -1,9 +1,12 @@
 """End-to-end decode benchmark: halfmoonbay.heic (12.2 MP, 48 tiles).
 
-Pipeline measured: container parse -> native C++ entropy decode (threaded)
--> host pack -> jitted TPU batched reconstruction -> stitch. Prints ONE
-JSON line: megapixels/s end-to-end. vs_baseline is null — the reference
-publishes no performance numbers (BASELINE.md).
+Pipeline measured: container parse -> slice headers -> overlapped
+(host C++ entropy decode || jitted TPU batched reconstruction || async
+plane readback) -> stitch of all three planes (Y + Cb + Cr). Prints ONE
+JSON line: megapixels/s end-to-end. vs_baseline is the ratio vs
+single-threaded libde265 on this host's CPU (the strongest available
+oracle — the reference itself publishes no numbers, BASELINE.md), or
+null when libde265 is not installed.
 
 Run on whatever platform JAX selects (TPU under the driver; CPU works too).
 """
@@ -13,6 +16,29 @@ import sys
 import time
 
 
+def stitch(plane, rows, cols, th, tw, out_h, out_w):
+    return (
+        plane.reshape(rows, cols, th, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(rows * th, cols * tw)[:out_h, :out_w]
+    )
+
+
+def baseline_mp_per_s(data, mp):
+    """Single-threaded libde265 CPU decode of the same image (best of 3)."""
+    try:
+        from heif_tpu.utils import oracle
+
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            oracle.decode_heic_via_de265(data)
+            times.append(time.perf_counter() - t0)
+        return mp / min(times)
+    except Exception:
+        return None
+
+
 def main():
     import numpy as np
 
@@ -20,12 +46,13 @@ def main():
     from heif_tpu.hevc import params
     from heif_tpu.hevc import slice as sl
     from heif_tpu.hevc.rbsp import remove_emulation_prevention
-    from heif_tpu import native
     from heif_tpu.ops.batch import decode_reconstruct_overlapped
+    from heif_tpu.utils.profiling import DecodeStats
 
     data = open("tests/assets/halfmoonbay.heic", "rb").read()
 
     def decode_once():
+        stats = DecodeStats()
         r = HeifReader(data)
         heif = r.read()
         rec = heif.hevc_configuration_record()
@@ -38,59 +65,60 @@ def main():
         primary = heif.primary_item_id()
         grid = parse_grid_config(r.get_item_data(primary))
         tile_ids = heif.item_ids_referencing(primary, "dimg")
-        t0 = time.perf_counter()
-        slices = [
-            sl.parse_slice_header(
-                sl.split_length_prefixed_nals(r.get_item_data(t), 4)[0],
-                sps, pps,
-            )
-            for t in tile_ids
-        ]
-        t1 = time.perf_counter()
-        t2 = time.perf_counter()
+        with stats.stage("hdr"):
+            slices = [
+                sl.parse_slice_header(
+                    sl.split_length_prefixed_nals(r.get_item_data(t), 4)[0],
+                    sps, pps,
+                )
+                for t in tile_ids
+            ]
         # host entropy (C++ CABAC) overlaps device reconstruction per chunk
-        planes = decode_reconstruct_overlapped(sps, pps, slices)
-        t3 = time.perf_counter()
-        # stitch + crop (host)
-        th = tw = 512
-        y = (
-            planes[0]
-            .reshape(grid.rows, grid.columns, th, tw)
-            .transpose(0, 2, 1, 3)
-            .reshape(grid.rows * th, grid.columns * tw)
-        )[: grid.output_height, : grid.output_width]
-        t4 = time.perf_counter()
-        return y, (t1 - t0, t2 - t1, t3 - t2, t4 - t3)
+        with stats.stage("recon"):
+            planes = decode_reconstruct_overlapped(sps, pps, slices)
+        with stats.stage("stitch"):
+            th = sps.pic_height_in_luma_samples
+            tw = sps.pic_width_in_luma_samples
+            y = stitch(planes[0], grid.rows, grid.columns, th, tw,
+                       grid.output_height, grid.output_width)
+            cb = stitch(planes[1], grid.rows, grid.columns, th // 2, tw // 2,
+                        grid.output_height // 2, grid.output_width // 2)
+            cr = stitch(planes[2], grid.rows, grid.columns, th // 2, tw // 2,
+                        grid.output_height // 2, grid.output_width // 2)
+        stats.tiles = len(slices)
+        stats.megapixels = (y.shape[0] * y.shape[1]) / 1e6
+        return (y, cb, cr), stats
 
     # warmup (jit compile + page-fault warm-in: first-touch faults cost
     # ~300us/page on these microVM hosts, see utils/hostmem.py)
     import gc
 
-    y, _ = decode_once()
+    (y, cb, cr), _ = decode_once()
     mp = (y.shape[0] * y.shape[1]) / 1e6
 
     times = []
-    breakdowns = []
+    all_stats = []
     for _ in range(5):
         gc.collect()
         t0 = time.perf_counter()
-        y, bd = decode_once()
+        _, stats = decode_once()
         times.append(time.perf_counter() - t0)
-        breakdowns.append(bd)
+        all_stats.append(stats)
     best = min(times)
-    bd = breakdowns[times.index(best)]
-    print(
-        f"# best {best:.3f}s  hdr {bd[0]:.3f}s "
-        f"recon {bd[2]:.3f}s stitch {bd[3]:.3f}s  ({mp:.1f} MP)",
-        file=sys.stderr,
-    )
+    stats = all_stats[times.index(best)]
+    print(f"# best {best:.3f}s  {stats.summary()}  ({mp:.1f} MP)", file=sys.stderr)
+
+    base = baseline_mp_per_s(data, mp)
+    if base is not None:
+        print(f"# libde265 1-thread CPU baseline: {base:.2f} MP/s", file=sys.stderr)
+    value = round(mp / best, 3)
     print(
         json.dumps(
             {
                 "metric": "e2e_heif_decode_throughput",
-                "value": round(mp / best, 3),
+                "value": value,
                 "unit": "megapixels/s",
-                "vs_baseline": None,
+                "vs_baseline": round(value / base, 3) if base else None,
             }
         )
     )

@@ -8,9 +8,9 @@ idat-constructed items (construction_method 1, src/heif/reader.rs:42) and
 multi-extent concatenation (src/heif/reader.rs:47). Both are load-bearing
 for real Apple HEIC files, whose grid config ships in idat.
 
-A C++ box walker (heif_tpu/native) provides the production fast path for
-bulk workloads; this module is the canonical reference implementation and
-the default host path.
+This module is the canonical host path. Container parse is KB-scale and
+off the critical path (the C++ code in heif_tpu/native accelerates the
+entropy stage, not box walking).
 """
 
 from __future__ import annotations

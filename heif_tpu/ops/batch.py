@@ -536,8 +536,17 @@ def reconstruct_pipelined(
 
 # sticky per-geometry shape cache: grown monotonically so every chunk of
 # every image with the same tile geometry converges on ONE compiled program
-# (warmup absorbs the growth recompiles; steady state is a single shape)
+# (warmup absorbs the growth recompiles; steady state is a single shape).
+# Bounded: oldest geometry evicted past _STICKY_MAX distinct keys, and
+# reset_shape_cache() drops everything (e.g. after one outlier image has
+# inflated the caps for a long-running service).
 _sticky_shapes: dict = {}
+_STICKY_MAX = 32
+
+
+def reset_shape_cache() -> None:
+    """Drop all sticky batch shapes (next decode re-derives minimal caps)."""
+    _sticky_shapes.clear()
 
 
 def _merge_sticky(key, n_steps, caps):
@@ -549,6 +558,8 @@ def _merge_sticky(key, n_steps, caps):
         for k, v in caps.items():
             merged[k] = max(merged.get(k, 0), v)
         caps = merged
+    elif len(_sticky_shapes) >= _STICKY_MAX:
+        _sticky_shapes.pop(next(iter(_sticky_shapes)))
     _sticky_shapes[key] = (n_steps, dict(caps))
     return n_steps, caps
 
@@ -583,10 +594,16 @@ def decode_reconstruct_overlapped(
         sps.pic_width_in_luma_samples,
         sps.pic_height_in_luma_samples,
         sps.ctb_log2_size_y,
+        sps.chroma_format_idc,
+        sps.bit_depth_luma_minus8,
+        sps.bit_depth_chroma_minus8,
         min(chunk, n),
     )
     outs = []
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    # NOTE: true overlap requires the native (GIL-releasing) entropy path;
+    # with the pure-Python fallback the executor serializes behind the GIL.
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
         futs = [ex.submit(entropy_fn, c) for c in chunks]
         for fi, fut in enumerate(futs):
             syn = list(fut.result())
@@ -604,6 +621,8 @@ def decode_reconstruct_overlapped(
             for p in planes:
                 p.copy_to_host_async()
             outs.append(planes)
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
     return [
         np.concatenate([np.asarray(o[c]) for o in outs], axis=0)[:n]
         for c in range(3)
