@@ -34,17 +34,24 @@ def remove_emulation_prevention(data: bytes) -> bytes:
     return bytes(out)
 
 
-def remove_emulation_prevention_np(data: np.ndarray) -> np.ndarray:
+def remove_emulation_prevention_np(
+    data: np.ndarray, return_mask: bool = False
+):
     """Vectorized de-emulation over a uint8 array (bulk tile preprocessing).
 
     Identical semantics to remove_emulation_prevention. Candidate 0x03 bytes
     are located with vectorized compares; the rare sequential dependency
     (overlapping 00 00 03 00 00 03 runs) is resolved in a short scalar pass
     over candidates only, so cost is O(n) vector + O(#candidates) scalar.
+
+    With return_mask=True, returns (rbsp, kept_mask) where kept_mask[i] is
+    True iff data[i] survived (used for exact entry-point coordinate
+    conversion without replaying the walk).
     """
     n = data.shape[0]
     if n < 3:
-        return data.copy()
+        out = data.copy()
+        return (out, np.ones(n, dtype=bool)) if return_mask else out
     is3 = data == 3
     z = data == 0
     cand = np.zeros(n, dtype=bool)
@@ -54,7 +61,8 @@ def remove_emulation_prevention_np(data: np.ndarray) -> np.ndarray:
     cand &= nxt_ok
     idx = np.nonzero(cand)[0]
     if idx.size == 0:
-        return data.copy()
+        out = data.copy()
+        return (out, np.ones(n, dtype=bool)) if return_mask else out
     # Sequential fix-up: a removed 0x03 breaks the zero-run for later
     # candidates (e.g. 00 00 03 03: only the first 03 is removed).
     keep_removed = []
@@ -80,7 +88,8 @@ def remove_emulation_prevention_np(data: np.ndarray) -> np.ndarray:
         last_removed = int(i)
     mask = np.ones(n, dtype=bool)
     mask[np.asarray(keep_removed, dtype=np.int64)] = False
-    return data[mask]
+    out = data[mask]
+    return (out, mask) if return_mask else out
 
 
 def insert_emulation_prevention(rbsp: bytes) -> bytes:

@@ -85,10 +85,12 @@ def parse_slice_header(
         raise ValueError(f"not a VCL NAL: {nt.name}")
     payload = nal[2:]
     # vectorized de-emulation: tile payloads are tens of KB and this runs
-    # once per tile on the critical path
-    rbsp = remove_emulation_prevention_np(
-        np.frombuffer(payload, dtype=np.uint8)
-    ).tobytes()
+    # once per tile on the critical path; the kept-byte mask drives exact
+    # entry-point coordinate conversion below with no second walk
+    rbsp_arr, kept_mask = remove_emulation_prevention_np(
+        np.frombuffer(payload, dtype=np.uint8), return_mask=True
+    )
+    rbsp = rbsp_arr.tobytes()
     # map from emulation-prevented byte index -> de-emulated byte index
     # (needed for exact entry-point conversion)
     r = BitReader(rbsp)
@@ -185,42 +187,23 @@ def parse_slice_header(
     # payload and counting stripped 0x03s per segment.
     if raw_offsets:
         h.entry_point_offsets = _deemulated_offsets(
-            payload, rbsp, h.data_byte_offset, raw_offsets
+            kept_mask, h.data_byte_offset, raw_offsets
         )
     return ParsedSlice(nal_type=nt, header=h, rbsp=rbsp)
 
 
 def _deemulated_offsets(
-    payload: bytes, rbsp: bytes, data_start_rbsp: int, raw_offsets: list[int]
+    kept_mask: np.ndarray, data_start_rbsp: int, raw_offsets: list[int]
 ) -> list[int]:
     """Convert per-substream sizes from emulation-prevented to de-emulated
-    byte counts by replaying the de-emulation walk."""
-    # Build prefix map: de-emulated index -> emulated index
-    emu_of = []
-    zeros = 0
-    i = 0
-    n = len(payload)
-    while i < n:
-        b = payload[i]
-        if zeros >= 2 and b == 0x03 and (i + 1 == n or payload[i + 1] <= 0x03):
-            zeros = 0
-            i += 1
-            continue
-        emu_of.append(i)
-        zeros = zeros + 1 if b == 0 else 0
-        i += 1
-    assert len(emu_of) == len(rbsp)
-    out = []
+    byte counts using the kept-byte mask from de-emulation (vectorized:
+    searchsorted over the emulated position of each surviving byte)."""
+    # emu_of[d] = emulated index of de-emulated byte d
+    emu_of = np.nonzero(kept_mask)[0]
     # substream k spans emulated bytes [emu_start, emu_start + raw_offsets[k])
-    emu_start = emu_of[data_start_rbsp]
-    de_start = data_start_rbsp
-    for off in raw_offsets:
-        emu_end = emu_start + off
-        # find de-emulated index whose emulated position reaches emu_end
-        de_end = de_start
-        while de_end < len(emu_of) and emu_of[de_end] < emu_end:
-            de_end += 1
-        out.append(de_end - de_start)
-        de_start = de_end
-        emu_start = emu_end
-    return out
+    bounds = emu_of[data_start_rbsp] + np.cumsum(
+        np.asarray(raw_offsets, dtype=np.int64)
+    )
+    de_ends = np.searchsorted(emu_of, bounds, side="left")
+    de_starts = np.concatenate([[data_start_rbsp], de_ends[:-1]])
+    return (de_ends - de_starts).tolist()
