@@ -61,17 +61,37 @@ def cmd_probe(args) -> int:
 
 def cmd_decode(args) -> int:
     from heif_tpu.models.decoder import HeicDecoder
+    from heif_tpu.utils.profiling import DecodeStats, device_trace
 
+    stats = DecodeStats()
+    stats.n_devices = args.mesh or 1
     t0 = time.perf_counter()
-    planes = HeicDecoder.decode(_read(args.file), backend=args.backend)
+    with device_trace(getattr(args, "trace", False)):
+        planes = HeicDecoder.decode(
+            _read(args.file),
+            backend=args.backend,
+            mesh_devices=args.mesh,
+            isolate_tile_errors=args.isolate_errors,
+            stats=stats,
+        )
     dt = time.perf_counter() - t0
     y = planes["Y"]
     mp = y.size / 1e6
+    stats.megapixels = mp
+    stats.stages["total"] = dt
     print(
         f"decoded {y.shape[1]}x{y.shape[0]} ({mp:.1f} MP) "
         f"in {dt:.3f}s [{args.backend}]",
         file=sys.stderr,
     )
+    if args.stats:
+        print(stats.json(), file=sys.stderr)
+    if stats.tile_errors:
+        print(
+            f"WARNING: {stats.tile_errors}/{stats.tiles} tiles failed "
+            f"(decoded as gray): {stats.errors}",
+            file=sys.stderr,
+        )
     if args.output:
         if args.output.endswith(".ppm"):
             _write_ppm(args.output, HeicDecoder.to_rgb(planes))
@@ -145,6 +165,18 @@ def main(argv=None) -> int:
     pd.add_argument("file")
     pd.add_argument("-o", "--output", help=".ppm or .npz output path")
     pd.add_argument("--backend", default="jax", choices=["jax", "ref"])
+    pd.add_argument(
+        "--mesh", type=int, default=None, metavar="N",
+        help="shard the tile grid over an N-device jax Mesh",
+    )
+    pd.add_argument(
+        "--isolate-errors", action="store_true",
+        help="corrupt tiles decode as gray instead of failing the image",
+    )
+    pd.add_argument("--stats", action="store_true",
+                    help="print per-stage decode stats JSON to stderr")
+    pd.add_argument("--trace", action="store_true",
+                    help="capture a jax.profiler trace of the decode")
     pd.set_defaults(fn=cmd_decode)
 
     pv = sub.add_parser("verify", help="bit-exact check vs libde265 oracle")

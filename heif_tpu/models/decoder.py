@@ -107,11 +107,21 @@ class HeicDecoder:
         backend: str = "ref",
         apply_rotation: bool = True,
         item_id: Optional[int] = None,
+        mesh_devices: Optional[int] = None,
+        isolate_tile_errors: bool = False,
+        stats=None,
     ) -> dict:
         """Decode the primary (or given) image item to YCbCr planes.
 
         Returns {"Y": ..., "Cb": ..., "Cr": ...} uint8 arrays plus "info".
         backend: "ref" (numpy host reference) or "jax" (TPU pipeline).
+        mesh_devices: shard the tile grid over an N-device jax Mesh
+          (grid-tile data parallelism, SURVEY.md §2.2) instead of the
+          single-chip batched pipeline.
+        isolate_tile_errors: a corrupt tile yields a mid-gray tile and a
+          structured error record instead of aborting the whole image
+          (SURVEY.md §5 failure-detection row); error details land in
+          stats.tile_errors / stats.errors when a DecodeStats is passed.
         """
         from heif_tpu.hevc import params
         from heif_tpu.hevc import slice as sl
@@ -150,36 +160,103 @@ class HeicDecoder:
             tile_ids = [target]
 
         # entropy-decode every tile (host; native C++ path when available,
-        # Python oracle otherwise)
-        slices = []
-        for tid in tile_ids:
-            nals = sl.split_length_prefixed_nals(
-                reader.get_item_data(tid), length_size
-            )
-            slices.append(sl.parse_slice_header(nals[0], sps, pps))
+        # Python oracle otherwise). With isolate_tile_errors, header or
+        # entropy corruption in one tile is captured instead of raised —
+        # that tile decodes as mid-gray and the rest of the grid survives.
         from heif_tpu import native
 
-        if native.available():
-            syntaxes = native.decode_tiles_parallel(sps, pps, slices)
+        slices = []
+        bad: dict[int, Exception] = {}
+        for ti, tid in enumerate(tile_ids):
+            try:
+                nals = sl.split_length_prefixed_nals(
+                    reader.get_item_data(tid), length_size
+                )
+                slices.append(sl.parse_slice_header(nals[0], sps, pps))
+            except Exception as e:
+                if not isolate_tile_errors:
+                    raise
+                bad[ti] = e
+                slices.append(None)
+        good = [ps for ps in slices if ps is not None]
+        if not good:
+            raise ValueError("no decodable tiles")
+
+        def entropy(parsed):
+            if native.available():
+                return native.decode_tiles_parallel(sps, pps, parsed)
+            return [TileSyntaxDecoder(sps, pps, ps).decode() for ps in parsed]
+
+        if isolate_tile_errors:
+            syntaxes_good = []
+            for ti, ps in enumerate(slices):
+                if ps is None:
+                    continue
+                try:
+                    syntaxes_good.extend(entropy([ps]))
+                except Exception as e:
+                    bad[ti] = e
+                    slices[ti] = None
+            slices_good = [ps for ps in slices if ps is not None]
         else:
-            syntaxes = [
-                TileSyntaxDecoder(sps, pps, ps).decode() for ps in slices
-            ]
+            slices_good = slices
+            syntaxes_good = entropy(slices_good)
+        if not slices_good:
+            raise ValueError("no decodable tiles")
 
         # reconstruct (per backend)
         if backend == "ref":
             from heif_tpu.ops.ref_recon import reconstruct_tile
 
-            tiles = [
+            tiles_good = [
                 reconstruct_tile(st, sps, pps, ps.header)
-                for st, ps in zip(syntaxes, slices)
+                for st, ps in zip(syntaxes_good, slices_good)
+            ]
+        elif backend == "jax" and mesh_devices:
+            from heif_tpu.parallel.pipeline import (
+                decode_grid_sharded,
+                make_mesh,
+            )
+
+            planes3 = decode_grid_sharded(
+                syntaxes_good, sps, pps, slices_good,
+                mesh=make_mesh(mesh_devices),
+            )
+            tiles_good = [
+                [planes3[0][i], planes3[1][i], planes3[2][i]]
+                for i in range(len(syntaxes_good))
             ]
         elif backend == "jax":
             from heif_tpu.ops.jax_recon import reconstruct_tiles_batched
 
-            tiles = reconstruct_tiles_batched(syntaxes, sps, pps, slices)
+            tiles_good = reconstruct_tiles_batched(
+                syntaxes_good, sps, pps, slices_good
+            )
         else:
             raise ValueError(f"unknown backend {backend!r}")
+
+        # re-insert gray placeholders for failed tiles
+        if bad:
+            th = sps.pic_height_in_luma_samples
+            tw = sps.pic_width_in_luma_samples
+            gray = [
+                np.full((th, tw), 128, np.uint8),
+                np.full((th >> 1, tw >> 1), 128, np.uint8),
+                np.full((th >> 1, tw >> 1), 128, np.uint8),
+            ]
+            tiles = []
+            it = iter(tiles_good)
+            for ti in range(len(tile_ids)):
+                tiles.append(gray if ti in bad else next(it))
+            if stats is not None:
+                stats.tile_errors = len(bad)
+                stats.errors = {
+                    ti: f"{type(e).__name__}: {e}" for ti, e in bad.items()
+                }
+        else:
+            tiles = tiles_good
+        if stats is not None:
+            stats.tiles = len(tile_ids)
 
         planes = HeicDecoder._stitch(
             tiles, grid, sps, apply_rotation, info.rotation

@@ -162,8 +162,9 @@ def pack_batch(
                     tc_bypass[k] = np.concatenate(
                         [tc_bypass[k], np.zeros(padn, bool)]
                     )
+                    # -1 routes cap-padding blocks to the dummy scatter slot
                     tc_org[k] = np.concatenate(
-                        [tc_org[k], np.zeros(padn, np.int32)]
+                        [tc_org[k], np.full(padn, -1, np.int32)]
                     )
 
     xs = []
@@ -255,33 +256,51 @@ def _core(
     dims = [(H, W), (Hc, Wc), (Hc, Wc)]
 
     # ---- stage 1: residuals ----
-    res_flat = [
-        jnp.zeros((n * (h + PAD) * (w + PAD),), jnp.int32) for h, w in dims
-    ]
+    # TUs are size-aligned (HEVC quadtree), so each (comp, size) class maps
+    # onto a dense [n*gh*gw, size*size] slot grid: a row-scatter of whole
+    # blocks (XLA lowers unique-row set() ~10x faster than the element-wise
+    # scatter-add it replaces), then depth-to-space. Classes never overlap,
+    # so the per-class planes just add.
+    res_dense = [jnp.zeros((n, h, w), jnp.int32) for h, w in dims]
     for (comp, size), (coeffs, qp, dst, skip, bypass, org) in tc_arrays.items():
         r = J.residual_class(
             coeffs, qp, dst, skip, bypass, scaling[(size, comp)], size
         )
-        # expand per-block origins to per-sample flat indices on device
         h, w = dims[comp]
-        iy = jnp.arange(size, dtype=jnp.int32)[None, :, None]
-        ix = jnp.arange(size, dtype=jnp.int32)[None, None, :]
-        flat = (org[:, None, None] + iy * (w + PAD) + ix).reshape(-1)
-        res_flat[comp] = res_flat[comp].at[flat].add(r.reshape(-1))
+        gh, gw = h // size, w // size
+        # recover (tile, oy, ox) from the wire-format flat origin
+        stride = (h + PAD) * (w + PAD)
+        ti = org // stride
+        rem = org % stride
+        oy = rem // (w + PAD)
+        ox = rem % (w + PAD)
+        slot = ti * (gh * gw) + (oy // size) * gw + (ox // size)
+        # cap-padding rows (org < 0) land on a dummy trailing slot
+        slot = jnp.where(org < 0, n * gh * gw, slot)
+        grid = jnp.zeros((n * gh * gw + 1, size * size), jnp.int32)
+        grid = grid.at[slot].set(r.reshape(-1, size * size))
+        plane = (
+            grid[: n * gh * gw]
+            .reshape(n, gh, gw, size, size)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n, h, w)
+        )
+        res_dense[comp] = res_dense[comp] + plane
     res = [
-        res_flat[c].reshape(n, dims[c][0] + PAD, dims[c][1] + PAD)
-        for c in range(3)
+        jnp.pad(res_dense[c], ((0, 0), (0, PAD), (0, PAD))) for c in range(3)
     ]
 
     # ---- stage 2: intra scans ----
     # reference-source tables computed on device (ships ~50 B of scalars
-    # per TU over the host link instead of the 130-byte uint8 table)
+    # per TU over the host link instead of the 130-byte uint8 table).
+    # Cb and Cr share TU geometry and intra mode (HEVC signals one
+    # intra_chroma_pred_mode per PU), so one chroma src table serves both.
     srcs = [
         J.ref_sources_device(
             xs[c][0], xs[c][1], xs[c][2],
             comp=c, W=W, H=H, ctb_log2=ctb_log2,
         )
-        for c in range(3)
+        for c in range(2)
     ]
     planes = []
     if use_pallas:
@@ -289,20 +308,30 @@ def _core(
         # PCM tiles take the XLA path instead (pallas kernel skips PCM)
         from heif_tpu.ops import pallas_intra as PI
 
-        for c in range(3):
-            h, w = dims[c]
-            plane = PI.intra_scan_pallas(
-                res[c],
-                _meta_from_xs(xs[c]),
-                srcs[c],
-                h,
-                w,
-                is_luma=(c == 0),
+        planes.append(
+            PI.intra_scan_pallas(
+                res[0],
+                _meta_from_xs(xs[0]),
+                srcs[0],
+                H,
+                W,
+                is_luma=True,
                 strong_smoothing=strong_smoothing,
-                counts=counts[c],
+                counts=counts[0],
             )
-            planes.append(plane)
+        )
+        cb, cr = PI.intra_scan_pallas_chroma2(
+            res[1],
+            res[2],
+            _meta_from_xs(xs[1]),
+            srcs[1],
+            Hc,
+            Wc,
+            counts=counts[1],
+        )
+        planes.extend([cb, cr])
     else:
+        srcs.append(srcs[1])  # Cr reuses the Cb table
         for c in range(3):
             h, w = dims[c]
             pcm_c = (

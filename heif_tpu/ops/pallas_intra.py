@@ -1,12 +1,28 @@
-"""Pallas TPU kernel for the sequential intra-prediction stage.
+"""Pallas TPU kernels for the sequential intra-prediction stage.
 
-One program per tile; the reconstruction plane (and a transposed copy, so
-left reference columns become row reads) lives in VMEM for the whole TU
-walk. Each step: aligned superset loads + one-hot shift contractions fetch
-the two reference strips, substitution/smoothing run as 2-D vector ops,
-prediction is a single [1024x130] matvec against the per-(mode,size)
-linear weight slice (DMA'd from HBM), and the block store is an aligned
-read-modify-write. No HBM round trips, no XLA loop overhead, no gathers.
+Design (v2). One grid program walks the TU worklists of TWO tiles in
+lockstep ("chains"); each chain keeps its reconstruction plane (and a
+transposed copy, so left reference columns become row reads) in VMEM for
+the whole walk. The two chains are data-independent, so the per-step
+vector/matrix ops of chain B fill the latency stalls of chain A's serial
+dependency chain (measured ~1.4x over one chain per program). The chroma
+kernel runs FOUR chains per program: Cb and Cr share TU geometry and
+intra mode (HEVC signals one intra_chroma_pred_mode per PU), so one
+worklist pass predicts both planes of both tiles.
+
+Per-step costs that the v1 kernel paid and v2 does not:
+- prediction used one dense [32x32x256] f32 multiply-reduce per TU
+  (~256 vregs) regardless of TU size; v2 branches per size class, with
+  the 4x4 weights (77% of TUs in the sample) resident in VMEM and an
+  async HBM fetch only for the rare 8/16/32 classes.
+- every step DMA'd a 512 KB weight slab from HBM (~18 GB per 12-tile
+  chunk); v2 moves 8 KB / 128 KB / 512 KB only when the TU size needs it.
+
+Memory plan: worklist tensors (meta/src) and residual planes live in HBM
+(pl.ANY) and are slab-DMA'd into VMEM scratch once per program; outputs
+are written back by one DMA at the end. This keeps the pipeline from
+double-buffering multi-MB blocks and fits 2 luma chains (planes,
+transposes, residuals, worklists, weight slabs) in ~13 MB of VMEM.
 
 Mosaic alignment strategy: every VMEM access uses starts aligned to
 (8, 128); arbitrary TU positions are reached by loading an aligned
@@ -14,8 +30,8 @@ superset window and shifting with one-hot matmuls (dy in 0..7 sublanes,
 dx in 0..127 lanes).
 
 The XLA lax.scan formulation in ops.jax_recon is the portable reference;
-bit-exact equivalence is tested in interpret mode. PCM tiles fall back to
-the XLA path.
+bit-exact equivalence is tested in interpret mode and against libde265 on
+real TPU. PCM tiles fall back to the XLA path.
 """
 
 from __future__ import annotations
@@ -69,6 +85,7 @@ def _weights_bf16() -> np.ndarray:
 
 
 _W_NP = None
+_W4_NP = None
 
 
 def _get_weights():
@@ -80,294 +97,647 @@ def _get_weights():
     return jnp.asarray(_W_NP)
 
 
+def _get_w4():
+    """VMEM-resident 4x4 weight table: [mode, 4, 4, 256] bf16 (~280 KB)."""
+    global _W4_NP, _W_NP
+    if _W4_NP is None:
+        if _W_NP is None:
+            _W_NP = _weights_bf16()
+        _W4_NP = np.ascontiguousarray(
+            _W_NP.reshape(35, 4, MAX_S, MAX_S, N_REF_PAD)[:, 0, :4, :4, :]
+        )
+    return jnp.asarray(_W4_NP)
+
+
 def _f32(x):
     return x.astype(jnp.float32)
 
 
-def _kernel(count_ref, meta_ref, src_ref, res_ref, w_hbm, bias_ref,
-            shift_ref, out_ref, plane, planeT, wbuf, sem, *, n_steps: int,
-            is_luma: bool, strong_smoothing: bool, hp: int, wp: int):
-    plane[...] = jnp.zeros_like(plane)
-    planeT[...] = jnp.zeros_like(planeT)
+# --------------------------------------------------------------------------
+# shared step helpers (closed over nothing; pure shape-static ops)
+# --------------------------------------------------------------------------
+
+
+def _strip_from(buf, r, c):
+    """buf[r, c : c + 65] via aligned superset load (one row)."""
+    r_al = (r // 8) * 8
+    c_al = (c // 128) * 128
+    win = buf[pl.ds(r_al, 8), pl.ds(c_al, WIN)]  # (8, WIN)
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r - r_al
+    row = jnp.where(rsel, win, 0).sum(axis=0, keepdims=True)  # (1, WIN)
+    off = c - c_al
+    lane = jax.lax.broadcasted_iota(jnp.int32, (WIN, REF_LEN), 0)
+    tgt = jax.lax.broadcasted_iota(jnp.int32, (WIN, REF_LEN), 1)
+    sel = (lane == tgt + off).astype(jnp.float32)
+    return jnp.dot(
+        _f32(row), sel, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (1, 65)
+
+
+def _rmw_store(buf, r, c, blk, size):
+    """buf[r:r+size, c:c+size] = blk[:size,:size] via aligned RMW."""
+    r_al = (r // 8) * 8
+    c_al = (c // 128) * 128
+    dy = r - r_al
+    dx = c - c_al
+    region = buf[pl.ds(r_al, RMW_R), pl.ds(c_al, RMW_C)]
+    sr = (
+        jax.lax.broadcasted_iota(jnp.int32, (RMW_R, MAX_S), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (RMW_R, MAX_S), 1) + dy
+    ).astype(jnp.float32)
+    sc = (
+        jax.lax.broadcasted_iota(jnp.int32, (MAX_S, RMW_C), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (MAX_S, RMW_C), 0) + dx
+    ).astype(jnp.float32)
+    placed = jnp.dot(
+        jnp.dot(sr, _f32(blk), preferred_element_type=jnp.float32),
+        sc,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (RMW_R, RMW_C), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (RMW_R, RMW_C), 1)
+    m = (ir >= dy) & (ir < dy + size) & (ic >= dx) & (ic < dx + size)
+    buf[pl.ds(r_al, RMW_R), pl.ds(c_al, RMW_C)] = jnp.where(m, placed, region)
+
+
+def _block_load(buf, r, c):
+    """buf[r:r+32, c:c+32] via aligned superset load."""
+    r_al = (r // 8) * 8
+    c_al = (c // 128) * 128
+    dy = r - r_al
+    dx = c - c_al
+    region = buf[pl.ds(r_al, RMW_R), pl.ds(c_al, RMW_C)]
+    sre = (
+        jax.lax.broadcasted_iota(jnp.int32, (MAX_S, RMW_R), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (MAX_S, RMW_R), 0) + dy
+    ).astype(jnp.float32)
+    sce = (
+        jax.lax.broadcasted_iota(jnp.int32, (RMW_C, MAX_S), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (RMW_C, MAX_S), 1) + dx
+    ).astype(jnp.float32)
+    return jnp.dot(
+        jnp.dot(sre, _f32(region), preferred_element_type=jnp.float32),
+        sce,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
+def _row_from(arr_ref, i, width, dtype=jnp.int32):
+    """arr_ref[i, :width] via sublane-aligned superset load + row select."""
+    i_al = (i // 8) * 8
+    win = arr_ref[pl.ds(i_al, 8), :].astype(dtype)  # (8, lanes)
+    ssel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == i - i_al
+    row = jnp.where(ssel, win, 0).sum(axis=0, keepdims=True)
+    return row[:, :width]  # (1, width)
+
+
+def _substitute(local, src_row, oh):
+    """Apply the availability/substitution map: refs[j] = local[src[j]]."""
+    refs = jnp.dot(
+        _f32(local), oh, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    return jnp.where(src_row >= N_REF, 128, refs)
+
+
+def _pred_by_size(size, widx, refvec, w_hbm, w4_ref, wbuf8, wbuf16, wbuf32,
+                  pred_buf, bias_ref, shift_ref, sem, max_size: int):
+    """Per-size-class prediction matvec into pred_buf (32x32 scratch).
+
+    4x4 weights come from the VMEM-resident table; 8/16/32 are DMA'd from
+    HBM only when that class occurs. pred_buf content outside
+    [0:size, 0:size] is stale/garbage — callers mask by size.
+    """
+    refv = _f32(refvec).reshape(1, 1, N_REF_PAD)
+    bias = bias_ref[widx]
+    shift = shift_ref[widx]
+    mode = widx // 4
+
+    @pl.when(size == 4)
+    def _():
+        acc = jnp.sum(refv * w4_ref[mode].astype(jnp.float32), axis=-1)
+        pred_buf[0:4, :] = jnp.pad(
+            (acc.astype(jnp.int32) + bias) >> shift, ((0, 0), (0, MAX_S - 4))
+        )
+
+    @pl.when(size == 8)
+    def _():
+        cp = pltpu.make_async_copy(
+            w_hbm.at[widx, pl.ds(0, 8), pl.ds(0, 8)], wbuf8, sem
+        )
+        cp.start()
+        cp.wait()
+        acc = jnp.sum(refv * wbuf8[...].astype(jnp.float32), axis=-1)
+        pred_buf[0:8, :] = jnp.pad(
+            (acc.astype(jnp.int32) + bias) >> shift, ((0, 0), (0, MAX_S - 8))
+        )
+
+    @pl.when(size == 16)
+    def _():
+        cp = pltpu.make_async_copy(
+            w_hbm.at[widx, pl.ds(0, 16), pl.ds(0, 16)], wbuf16, sem
+        )
+        cp.start()
+        cp.wait()
+        acc = jnp.sum(refv * wbuf16[...].astype(jnp.float32), axis=-1)
+        pred_buf[0:16, :] = jnp.pad(
+            (acc.astype(jnp.int32) + bias) >> shift, ((0, 0), (0, MAX_S - 16))
+        )
+
+    if max_size >= 32:
+        @pl.when(size == 32)
+        def _():
+            cp = pltpu.make_async_copy(w_hbm.at[widx], wbuf32, sem)
+            cp.start()
+            cp.wait()
+            acc = jnp.sum(refv * wbuf32[...].astype(jnp.float32), axis=-1)
+            pred_buf[...] = (acc.astype(jnp.int32) + bias) >> shift
+
+
+def _filter_refs_kernel(left, top, size, filt, strong_smoothing: bool,
+                        iota65):
+    """§8.4.4.2.3 luma reference smoothing, branchless on (1, 65) strips."""
+    n2 = 2 * size
+    corner = left[0, 0]
+    bi = jnp.bool_(False)
+    if strong_smoothing:
+        thr = 8
+        bi = (
+            (size == 32)
+            & (jnp.abs(corner + top[0, 64] - 2 * top[0, 32]) < thr)
+            & (jnp.abs(corner + left[0, 64] - 2 * left[0, 32]) < thr)
+        )
+    l_m1 = jnp.concatenate([left[:, :1], left[:, :-1]], axis=1)
+    l_p1 = jnp.concatenate([left[:, 1:], left[:, -1:]], axis=1)
+    t_m1 = jnp.concatenate([top[:, :1], top[:, :-1]], axis=1)
+    t_p1 = jnp.concatenate([top[:, 1:], top[:, -1:]], axis=1)
+    lf = (l_m1 + 2 * left + l_p1 + 2) >> 2
+    tf = (t_m1 + 2 * top + t_p1 + 2) >> 2
+    corner_f = (left[0, 1] + 2 * corner + top[0, 1] + 2) >> 2
+    lf = jnp.where(iota65 == 0, corner_f, lf)
+    tf = jnp.where(iota65 == 0, corner_f, tf)
+    lf = jnp.where(iota65 >= n2, left, lf)
+    tf = jnp.where(iota65 >= n2, top, tf)
+    tb = jnp.where(
+        (iota65 >= 1) & (iota65 <= 63),
+        ((63 - (iota65 - 1)) * corner + iota65 * top[0, 64] + 32) >> 6,
+        top,
+    )
+    lb = jnp.where(
+        (iota65 >= 1) & (iota65 <= 63),
+        ((63 - (iota65 - 1)) * corner + iota65 * left[0, 64] + 32) >> 6,
+        left,
+    )
+    tb = jnp.where(iota65 == 0, corner, tb)
+    lb = jnp.where(iota65 == 0, corner, lb)
+    use = filt > 0
+    left = jnp.where(use, jnp.where(bi, lb, lf), left)
+    top = jnp.where(use, jnp.where(bi, tb, tf), top)
+    return left, top
+
+
+def _luma_fixups(pred, left, top, size, log2, mode, iota65, rr32, cc32):
+    """DC boundary smoothing + mode 10/26 edge compensation (luma only)."""
+    msk = (iota65 >= 1) & (iota65 <= size)
+    dc = (jnp.sum(jnp.where(msk, left + top, 0)) + size) >> (log2 + 1)
+    dc_smooth = (size < 32) & (mode == 1)
+    top_row_f = (top[:, 1 : MAX_S + 1] + 3 * dc + 2) >> 2
+    left_col_f = (left[:, 1 : MAX_S + 1] + 3 * dc + 2) >> 2
+    corner_v = (left[0, 1] + 2 * dc + top[0, 1] + 2) >> 2
+    pred = jnp.where(dc_smooth & (rr32 == 0), top_row_f, pred)
+    pred = jnp.where(
+        dc_smooth & (cc32 == 0) & (rr32 > 0),
+        left_col_f.reshape(MAX_S, 1),
+        pred,
+    )
+    pred = jnp.where(dc_smooth & (rr32 == 0) & (cc32 == 0), corner_v, pred)
+    v_edge = (size < 32) & (mode == 26)
+    h_edge = (size < 32) & (mode == 10)
+    delta_v = jnp.clip(
+        top[0, 1] + ((left[:, 1 : MAX_S + 1] - left[0, 0]) >> 1), 0, 255
+    )
+    delta_h = jnp.clip(
+        left[0, 1] + ((top[:, 1 : MAX_S + 1] - top[0, 0]) >> 1), 0, 255
+    )
+    pred = jnp.where(v_edge & (cc32 == 0), delta_v.reshape(MAX_S, 1), pred)
+    pred = jnp.where(h_edge & (rr32 == 0), delta_h, pred)
+    return pred
+
+
+# --------------------------------------------------------------------------
+# luma kernel: 2 tiles per program
+# --------------------------------------------------------------------------
+
+
+def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm, res_hbm,
+                 w_hbm, w4_ref, out_ref,
+                 plane_a, planeT_a, plane_b, planeT_b, vres_a, vres_b,
+                 vsrc_a, vsrc_b, wbuf8_a, wbuf16_a, wbuf32_a, wbuf8_b,
+                 wbuf16_b, wbuf32_b, pred_a, pred_b, sem_in, sem_a, sem_b,
+                 sem_out, *, n_steps: int, strong_smoothing: bool,
+                 rh: int, rw: int):
+    pid = pl.program_id(0)
+    ta = 2 * pid
+    tb = 2 * pid + 1
+
+    # slab-DMA this pair's worklists + residual planes into VMEM
+    cps = [
+        pltpu.make_async_copy(src_hbm.at[ta], vsrc_a, sem_in),
+        pltpu.make_async_copy(src_hbm.at[tb], vsrc_b, sem_in),
+        pltpu.make_async_copy(res_hbm.at[ta], vres_a, sem_in),
+        pltpu.make_async_copy(res_hbm.at[tb], vres_b, sem_in),
+    ]
+    for cp in cps:
+        cp.start()
+    plane_a[...] = jnp.zeros_like(plane_a)
+    planeT_a[...] = jnp.zeros_like(planeT_a)
+    plane_b[...] = jnp.zeros_like(plane_b)
+    planeT_b[...] = jnp.zeros_like(planeT_b)
+    for cp in cps:
+        cp.wait()
 
     iota65 = jax.lax.broadcasted_iota(jnp.int32, (1, REF_LEN), 1)
     rr32 = jax.lax.broadcasted_iota(jnp.int32, (MAX_S, MAX_S), 0)
     cc32 = jax.lax.broadcasted_iota(jnp.int32, (MAX_S, MAX_S), 1)
+    pad0 = jnp.zeros((1, N_REF_PAD - N_REF), jnp.int32)
+    bi_nref = jax.lax.broadcasted_iota(jnp.int32, (N_REF, N_REF), 0)
 
-    def strip_from(buf, r, c):
-        """buf[r, c : c + 65] via aligned superset load (one row)."""
-        r_al = (r // 8) * 8
-        c_al = (c // 128) * 128
-        win = buf[pl.ds(r_al, 8), pl.ds(c_al, WIN)]  # (8, WIN)
-        rsel = (
-            jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r - r_al
+    def chain(slot, i, plane, planeT, vres, vsrc, wb8, wb16, wb32, predb,
+              sem):
+        tx = meta_ref[slot, i, M_TX]
+        ty = meta_ref[slot, i, M_TY]
+        size = meta_ref[slot, i, M_SIZE]
+        log2 = meta_ref[slot, i, M_LOG2]
+        mode = meta_ref[slot, i, M_MODE]
+        filt = meta_ref[slot, i, M_FILT]
+        widx = meta_ref[slot, i, M_WIDX]
+        active = meta_ref[slot, i, M_ACTIVE]
+
+        top = _strip_from(plane, ty, tx)
+        left = _strip_from(planeT, tx, ty)
+        local = jnp.concatenate([left, top], axis=1)  # (1, 130)
+        src_row = _row_from(vsrc, i, N_REF)
+        oh = (bi_nref == jnp.broadcast_to(src_row, (N_REF, N_REF))).astype(
+            jnp.float32
         )
-        row = jnp.where(rsel, win, 0).sum(axis=0, keepdims=True)  # (1, WIN)
-        off = c - c_al
-        # lane extract: strip[i] = row[off + i]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (WIN, REF_LEN), 0)
-        tgt = jax.lax.broadcasted_iota(jnp.int32, (WIN, REF_LEN), 1)
-        sel = (lane == tgt + off).astype(jnp.float32)
-        return jnp.dot(
-            _f32(row), sel, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)  # (1, 65)
-
-    def rmw_store(buf, r, c, blk, size):
-        """buf[r:r+size, c:c+size] = blk[:size,:size] via aligned RMW."""
-        r_al = (r // 8) * 8
-        c_al = (c // 128) * 128
-        dy = r - r_al
-        dx = c - c_al
-        region = buf[pl.ds(r_al, RMW_R), pl.ds(c_al, RMW_C)]
-        sr = (
-            jax.lax.broadcasted_iota(jnp.int32, (RMW_R, MAX_S), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (RMW_R, MAX_S), 1) + dy
-        ).astype(jnp.float32)
-        sc = (
-            jax.lax.broadcasted_iota(jnp.int32, (MAX_S, RMW_C), 1)
-            == jax.lax.broadcasted_iota(jnp.int32, (MAX_S, RMW_C), 0) + dx
-        ).astype(jnp.float32)
-        placed = jnp.dot(
-            jnp.dot(sr, _f32(blk), preferred_element_type=jnp.float32),
-            sc,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        ir = jax.lax.broadcasted_iota(jnp.int32, (RMW_R, RMW_C), 0)
-        ic = jax.lax.broadcasted_iota(jnp.int32, (RMW_R, RMW_C), 1)
-        m = (ir >= dy) & (ir < dy + size) & (ic >= dx) & (ic < dx + size)
-        buf[pl.ds(r_al, RMW_R), pl.ds(c_al, RMW_C)] = jnp.where(
-            m, placed, region
+        refs = _substitute(local, src_row, oh)
+        left, top = refs[:, :REF_LEN], refs[:, REF_LEN:]
+        left, top = _filter_refs_kernel(
+            left, top, size, filt, strong_smoothing, iota65
         )
-
-    def block_load(buf, r, c):
-        """buf[r:r+32, c:c+32] via aligned superset load."""
-        r_al = (r // 8) * 8
-        c_al = (c // 128) * 128
-        dy = r - r_al
-        dx = c - c_al
-        region = buf[pl.ds(r_al, RMW_R), pl.ds(c_al, RMW_C)]
-        sre = (
-            jax.lax.broadcasted_iota(jnp.int32, (MAX_S, RMW_R), 1)
-            == jax.lax.broadcasted_iota(jnp.int32, (MAX_S, RMW_R), 0) + dy
-        ).astype(jnp.float32)
-        sce = (
-            jax.lax.broadcasted_iota(jnp.int32, (RMW_C, MAX_S), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (RMW_C, MAX_S), 1) + dx
-        ).astype(jnp.float32)
-        return jnp.dot(
-            jnp.dot(sre, _f32(region), preferred_element_type=jnp.float32),
-            sce,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
+        refvec = jnp.concatenate([left, top, pad0], axis=1)
+        _pred_by_size(size, widx, refvec, w_hbm, w4_ref, wb8, wb16, wb32,
+                      predb, bias_ref, shift_ref, sem, max_size=32)
+        pred = _luma_fixups(
+            predb[...], left, top, size, log2, mode, iota65, rr32, cc32
+        )
+        res = _block_load(vres, ty, tx)
+        new = jnp.clip(pred + res, 0, 255)
+        eff = jnp.where(active > 0, size, 0)
+        _rmw_store(plane, ty + 1, tx + 1, new, eff)
+        _rmw_store(planeT, tx + 1, ty + 1, new.T, eff)
 
     def body(i, _):
-        tx = meta_ref[0, i, M_TX]
-        ty = meta_ref[0, i, M_TY]
-        size = meta_ref[0, i, M_SIZE]
-        log2 = meta_ref[0, i, M_LOG2]
-        mode = meta_ref[0, i, M_MODE]
-        filt = meta_ref[0, i, M_FILT]
-        widx = meta_ref[0, i, M_WIDX]
-
-        cp = pltpu.make_async_copy(w_hbm.at[widx], wbuf, sem)
-        cp.start()
-
-        # strips from +1-origin planes: top = plane[ty, tx:tx+65],
-        # left = planeT[tx, ty:ty+65]
-        top = strip_from(plane, ty, tx)
-        left = strip_from(planeT, tx, ty)
-        local = jnp.concatenate([left, top], axis=1)  # (1, 130)
-
-        # sublane-aligned superset load + row select (dynamic i)
-        i_al = (i // 8) * 8
-        swin = src_ref[0, pl.ds(i_al, 8), :].astype(jnp.int32)  # (8, 130)
-        ssel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == i - i_al
-        src_row = jnp.where(ssel, swin, 0).sum(axis=0, keepdims=True)
-        # (1, 130): [left refs | top refs]; 255 = unavailable
-        bi = jax.lax.broadcasted_iota(jnp.int32, (N_REF, N_REF), 0)
-        oh = (bi == jnp.broadcast_to(src_row, (N_REF, N_REF))).astype(
-            jnp.float32
-        )  # oh[k, j] = (src_row[j] == k)
-        refs = jnp.dot(
-            _f32(local), oh, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)  # (1, 130)
-        refs = jnp.where(src_row >= N_REF, 128, refs)
-        left = refs[:, :REF_LEN]
-        top = refs[:, REF_LEN:]
-
-        if is_luma:
-            n2 = 2 * size
-            corner = left[0, 0]
-            bi = jnp.bool_(False)
-            if strong_smoothing:
-                thr = 8
-                bi = (
-                    (size == 32)
-                    & (jnp.abs(corner + top[0, 64] - 2 * top[0, 32]) < thr)
-                    & (jnp.abs(corner + left[0, 64] - 2 * left[0, 32]) < thr)
-                )
-            l_m1 = jnp.concatenate([left[:, :1], left[:, :-1]], axis=1)
-            l_p1 = jnp.concatenate([left[:, 1:], left[:, -1:]], axis=1)
-            t_m1 = jnp.concatenate([top[:, :1], top[:, :-1]], axis=1)
-            t_p1 = jnp.concatenate([top[:, 1:], top[:, -1:]], axis=1)
-            lf = (l_m1 + 2 * left + l_p1 + 2) >> 2
-            tf = (t_m1 + 2 * top + t_p1 + 2) >> 2
-            corner_f = (left[0, 1] + 2 * corner + top[0, 1] + 2) >> 2
-            lf = jnp.where(iota65 == 0, corner_f, lf)
-            tf = jnp.where(iota65 == 0, corner_f, tf)
-            lf = jnp.where(iota65 >= n2, left, lf)
-            tf = jnp.where(iota65 >= n2, top, tf)
-            tb = jnp.where(
-                (iota65 >= 1) & (iota65 <= 63),
-                ((63 - (iota65 - 1)) * corner + iota65 * top[0, 64] + 32) >> 6,
-                top,
-            )
-            lb = jnp.where(
-                (iota65 >= 1) & (iota65 <= 63),
-                ((63 - (iota65 - 1)) * corner + iota65 * left[0, 64] + 32) >> 6,
-                left,
-            )
-            tb = jnp.where(iota65 == 0, corner, tb)
-            lb = jnp.where(iota65 == 0, corner, lb)
-            use = filt > 0
-            left = jnp.where(use, jnp.where(bi, lb, lf), left)
-            top = jnp.where(use, jnp.where(bi, tb, tf), top)
-
-        refvec = jnp.concatenate(
-            [left, top, jnp.zeros((1, N_REF_PAD - N_REF), jnp.int32)], axis=1
-        )  # (1, 256), zero-padded to the lane-aligned weight width
-
-        cp.wait()
-        # weighted-matrix sum producing the (32, 32) block directly:
-        # pred[r, c] = sum_k refvec[k] * W[widx][r, k, c]. Expressed as an
-        # elementwise multiply + sublane reduction (Mosaic cannot reshape
-        # (1,1024)->(32,32) or batch a zero-non-contracting-dim matmul).
-        refb = _f32(refvec).reshape(1, 1, N_REF_PAD)
-        acc = jnp.sum(refb * wbuf[...].astype(jnp.float32), axis=-1)
-        # exact: weights<=64, refs<=255 -> products/sums < 2^24 in f32
-        pred = (acc.astype(jnp.int32) + bias_ref[widx]) >> shift_ref[widx]
-
-        # nonlinear fixups
-        msk = (iota65 >= 1) & (iota65 <= size)
-        dc = (jnp.sum(jnp.where(msk, left + top, 0)) + size) >> (log2 + 1)
-        if is_luma:
-            dc_smooth = (size < 32) & (mode == 1)
-            top_row_f = (top[:, 1 : MAX_S + 1] + 3 * dc + 2) >> 2
-            left_col_f = (left[:, 1 : MAX_S + 1] + 3 * dc + 2) >> 2
-            corner_v = (left[0, 1] + 2 * dc + top[0, 1] + 2) >> 2
-            pred = jnp.where(dc_smooth & (rr32 == 0), top_row_f, pred)
-            pred = jnp.where(
-                dc_smooth & (cc32 == 0) & (rr32 > 0),
-                left_col_f.reshape(MAX_S, 1),
-                pred,
-            )
-            pred = jnp.where(
-                dc_smooth & (rr32 == 0) & (cc32 == 0), corner_v, pred
-            )
-            v_edge = (size < 32) & (mode == 26)
-            h_edge = (size < 32) & (mode == 10)
-            delta_v = jnp.clip(
-                top[0, 1] + ((left[:, 1 : MAX_S + 1] - left[0, 0]) >> 1),
-                0, 255,
-            )
-            delta_h = jnp.clip(
-                left[0, 1] + ((top[:, 1 : MAX_S + 1] - top[0, 0]) >> 1),
-                0, 255,
-            )
-            pred = jnp.where(
-                v_edge & (cc32 == 0), delta_v.reshape(MAX_S, 1), pred
-            )
-            pred = jnp.where(h_edge & (rr32 == 0), delta_h, pred)
-
-        res = block_load(res_ref.at[0], ty, tx)
-        new = jnp.clip(pred + res, 0, 255)
-        active = meta_ref[0, i, M_ACTIVE]
-        eff = jnp.where(active > 0, size, 0)
-        rmw_store(plane, ty + 1, tx + 1, new, eff)
-        rmw_store(planeT, tx + 1, ty + 1, new.T, eff)
+        chain(0, i, plane_a, planeT_a, vres_a, vsrc_a, wbuf8_a, wbuf16_a,
+              wbuf32_a, pred_a, sem_a)
+        chain(1, i, plane_b, planeT_b, vres_b, vsrc_b, wbuf8_b, wbuf16_b,
+              wbuf32_b, pred_b, sem_b)
         return 0
 
-    # per-tile dynamic trip count: real TUs only (padding rows are no-ops
-    # anyway, but most tiles have far fewer TUs than the padded max)
-    tile = pl.program_id(0)
-    lax.fori_loop(0, jnp.minimum(count_ref[tile, 0], n_steps), body, 0)
-    # out block is residual-sized (and aliased with the res input buffer);
-    # rows 0..rh-1 of the +1-origin plane cover the picture (1..h)
-    out_ref[...] = plane[pl.ds(0, out_ref.shape[1]), :].reshape(out_ref.shape)
+    trip = jnp.minimum(
+        jnp.maximum(counts_ref[ta, 0], counts_ref[tb, 0]), n_steps
+    )
+    lax.fori_loop(0, trip, body, 0)
+
+    # write the +1-origin planes back over the residual buffers
+    oa = pltpu.make_async_copy(
+        plane_a.at[pl.ds(0, rh), pl.ds(0, rw)], out_ref.at[ta], sem_out
+    )
+    oa.start()
+    oa.wait()
+    ob = pltpu.make_async_copy(
+        plane_b.at[pl.ds(0, rh), pl.ds(0, rw)], out_ref.at[tb], sem_out
+    )
+    ob.start()
+    ob.wait()
 
 
 def intra_scan_pallas(
-    res, meta, src, h: int, w: int, is_luma: bool, strong_smoothing: bool,
-    interpret: bool = False, counts=None,
+    res, meta, src, h: int, w: int, is_luma: bool = True,
+    strong_smoothing: bool = False, interpret: bool = False, counts=None,
 ):
-    """Run the intra walk for one component over all tiles.
+    """Run the luma intra walk for all tiles (2 tiles per grid program).
 
-    res: [N, hr, wr] int32 residual planes with hr % 8 == 0 and
-    wr >= round_up(w - 4, 128) + RMW_C - 128 (544 for 512-wide tiles).
-    meta: [N, S, 8] int32 per-step scalars; src: [N, S, 2, 65] uint8.
+    res: [N, hr, wr] int32 residual planes; meta: [N, S, 8] int32 per-step
+    scalars; src: [N, S, 2, 65] uint8 local reference-source indices.
     counts: optional [N] int32 real TU count per tile (loop bound).
     Returns [N, h, w] int32 reconstructed planes.
     """
+    assert is_luma, "chroma goes through intra_scan_pallas_chroma2"
     n, s_steps = meta.shape[0], meta.shape[1]
     if counts is None:
         counts = jnp.full((n,), s_steps, jnp.int32)
     counts = counts.astype(jnp.int32).reshape(n, 1)
-    src = src.reshape(n, s_steps, N_REF)  # flatten (2,65) -> 130 lanes
+    # lane-pad the src table: HBM->VMEM slab DMA needs 128-aligned lanes
+    src = jnp.pad(
+        src.reshape(n, s_steps, N_REF),
+        ((0, 0), (0, 0), (0, N_REF_PAD - N_REF)),
+    )
     hp = _round_up(1 + h + SPAD, 8)
     wp = _round_up(1 + w + SPAD, 128)
-    # lane-align the residual planes (Mosaic sub-ref slicing needs it)
     rh = _round_up(res.shape[1], 8)
     rw = _round_up(res.shape[2], 128)
     if (rh, rw) != res.shape[1:]:
         res = jnp.pad(
             res, ((0, 0), (0, rh - res.shape[1]), (0, rw - res.shape[2]))
         )
+    assert rw == wp, (rw, wp)
+    if n % 2:
+        res = jnp.pad(res, ((0, 1), (0, 0), (0, 0)))
+        meta = jnp.pad(meta, ((0, 1), (0, 0), (0, 0)))
+        src = jnp.pad(src, ((0, 1), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, ((0, 1), (0, 0)))
+    npad = res.shape[0]
     wtab = _get_weights()
+    w4 = _get_w4()
     bias = jnp.asarray(J._PRED_B_NP.reshape(-1))
     shift = jnp.asarray(J._PRED_SH_NP.reshape(-1))
+    hpT = hp if hp % 128 == 0 else _round_up(hp, 128)
     kernel = partial(
-        _kernel,
+        _kernel_luma,
         n_steps=s_steps,
-        is_luma=is_luma,
         strong_smoothing=strong_smoothing,
-        hp=hp,
-        wp=wp,
+        rh=rh,
+        rw=rw,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(npad // 2,),
         in_specs=[
-            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts [n,1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bias
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # shift
             pl.BlockSpec(
-                (1, s_steps, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, s_steps, N_REF),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, rh, rw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # weights stay in HBM
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+                (2, s_steps, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),  # meta pair
+            pl.BlockSpec(memory_space=pltpu.ANY),  # src (slab DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # res (slab DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # weights HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w4 table
         ],
-        out_specs=pl.BlockSpec(
-            (1, rh, rw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, rh, rw), jnp.int32),
-        input_output_aliases={3: 0},
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((npad, rh, rw), jnp.int32),
+        input_output_aliases={5: 0},
         scratch_shapes=[
-            pltpu.VMEM((hp, wp), jnp.int32),   # plane
-            pltpu.VMEM((wp, hp if hp % 128 == 0 else _round_up(hp, 128)),
-                       jnp.int32),             # planeT (lanes = rows)
-            pltpu.VMEM((MAX_S, MAX_S, N_REF_PAD), jnp.bfloat16),
+            pltpu.VMEM((hp, wp), jnp.int32),   # plane_a
+            pltpu.VMEM((wp, hpT), jnp.int32),  # planeT_a
+            pltpu.VMEM((hp, wp), jnp.int32),   # plane_b
+            pltpu.VMEM((wp, hpT), jnp.int32),  # planeT_b
+            pltpu.VMEM((rh, rw), jnp.int32),   # vres_a
+            pltpu.VMEM((rh, rw), jnp.int32),   # vres_b
+            pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_a
+            pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_b
+            pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8_a
+            pltpu.VMEM((16, 16, N_REF_PAD), jnp.bfloat16),  # wbuf16_a
+            pltpu.VMEM((MAX_S, MAX_S, N_REF_PAD), jnp.bfloat16),  # wbuf32_a
+            pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8_b
+            pltpu.VMEM((16, 16, N_REF_PAD), jnp.bfloat16),  # wbuf16_b
+            pltpu.VMEM((MAX_S, MAX_S, N_REF_PAD), jnp.bfloat16),  # wbuf32_b
+            pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_a
+            pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_b
+            pltpu.SemaphoreType.DMA,  # sem_in
+            pltpu.SemaphoreType.DMA,  # sem_a
+            pltpu.SemaphoreType.DMA,  # sem_b
+            pltpu.SemaphoreType.DMA,  # sem_out
+        ],
+        interpret=interpret,
+    )(counts, bias, shift, meta, src, res, wtab, w4)
+    return out[:n, 1 : 1 + h, 1 : 1 + w]
+
+
+# --------------------------------------------------------------------------
+# chroma kernel: 2 tiles x (Cb, Cr) = 4 chains per program
+# --------------------------------------------------------------------------
+
+
+def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
+                   rescb_hbm, rescr_hbm, w_hbm, w4_ref, outcb_ref, outcr_ref,
+                   plane_ba, planeT_ba, plane_ra, planeT_ra,
+                   plane_bb, planeT_bb, plane_rb, planeT_rb,
+                   vres_ba, vres_ra, vres_bb, vres_rb, vsrc_a, vsrc_b,
+                   wbuf8_a, wbuf16_a, wbuf8_b, wbuf16_b, pred_ba, pred_ra,
+                   pred_bb, pred_rb, sem_in, sem_a, sem_b, sem_out, *,
+                   n_steps: int, rh: int, rw: int):
+    pid = pl.program_id(0)
+    ta = 2 * pid
+    tb = 2 * pid + 1
+
+    cps = [
+        pltpu.make_async_copy(src_hbm.at[ta], vsrc_a, sem_in),
+        pltpu.make_async_copy(src_hbm.at[tb], vsrc_b, sem_in),
+        pltpu.make_async_copy(rescb_hbm.at[ta], vres_ba, sem_in),
+        pltpu.make_async_copy(rescr_hbm.at[ta], vres_ra, sem_in),
+        pltpu.make_async_copy(rescb_hbm.at[tb], vres_bb, sem_in),
+        pltpu.make_async_copy(rescr_hbm.at[tb], vres_rb, sem_in),
+    ]
+    for cp in cps:
+        cp.start()
+    for buf in (plane_ba, planeT_ba, plane_ra, planeT_ra,
+                plane_bb, planeT_bb, plane_rb, planeT_rb):
+        buf[...] = jnp.zeros_like(buf)
+    for cp in cps:
+        cp.wait()
+
+    pad0 = jnp.zeros((1, N_REF_PAD - N_REF), jnp.int32)
+    bi_nref = jax.lax.broadcasted_iota(jnp.int32, (N_REF, N_REF), 0)
+
+    def tile_pair(slot, i, plane_b_, planeT_b_, plane_r_, planeT_r_,
+                  vres_b_, vres_r_, vsrc, wb8, wb16, predb, predr, sem):
+        """One step for one tile's Cb+Cr chains (shared worklist/mode)."""
+        tx = meta_ref[slot, i, M_TX]
+        ty = meta_ref[slot, i, M_TY]
+        size = meta_ref[slot, i, M_SIZE]
+        widx = meta_ref[slot, i, M_WIDX]
+        active = meta_ref[slot, i, M_ACTIVE]
+
+        top_b = _strip_from(plane_b_, ty, tx)
+        left_b = _strip_from(planeT_b_, tx, ty)
+        top_r = _strip_from(plane_r_, ty, tx)
+        left_r = _strip_from(planeT_r_, tx, ty)
+        src_row = _row_from(vsrc, i, N_REF)
+        oh = (bi_nref == jnp.broadcast_to(src_row, (N_REF, N_REF))).astype(
+            jnp.float32
+        )
+        refs_b = _substitute(
+            jnp.concatenate([left_b, top_b], axis=1), src_row, oh
+        )
+        refs_r = _substitute(
+            jnp.concatenate([left_r, top_r], axis=1), src_row, oh
+        )
+        refvec_b = jnp.concatenate([refs_b, pad0], axis=1)
+        refvec_r = jnp.concatenate([refs_r, pad0], axis=1)
+        # one weight fetch serves both chroma chains (same mode/size)
+        _pred_by_size(size, widx, refvec_b, w_hbm, w4_ref, wb8, wb16, None,
+                      predb, bias_ref, shift_ref, sem, max_size=16)
+        refv_r = _f32(refvec_r).reshape(1, 1, N_REF_PAD)
+        bias = bias_ref[widx]
+        shift = shift_ref[widx]
+
+        @pl.when(size == 4)
+        def _():
+            acc = jnp.sum(
+                refv_r * w4_ref[widx // 4].astype(jnp.float32), axis=-1
+            )
+            predr[0:4, :] = jnp.pad(
+                (acc.astype(jnp.int32) + bias) >> shift,
+                ((0, 0), (0, MAX_S - 4)),
+            )
+
+        @pl.when(size == 8)
+        def _():
+            acc = jnp.sum(refv_r * wb8[...].astype(jnp.float32), axis=-1)
+            predr[0:8, :] = jnp.pad(
+                (acc.astype(jnp.int32) + bias) >> shift,
+                ((0, 0), (0, MAX_S - 8)),
+            )
+
+        @pl.when(size == 16)
+        def _():
+            acc = jnp.sum(refv_r * wb16[...].astype(jnp.float32), axis=-1)
+            predr[0:16, :] = jnp.pad(
+                (acc.astype(jnp.int32) + bias) >> shift,
+                ((0, 0), (0, MAX_S - 16)),
+            )
+
+        res_b = _block_load(vres_b_, ty, tx)
+        res_r = _block_load(vres_r_, ty, tx)
+        new_b = jnp.clip(predb[...] + res_b, 0, 255)
+        new_r = jnp.clip(predr[...] + res_r, 0, 255)
+        eff = jnp.where(active > 0, size, 0)
+        _rmw_store(plane_b_, ty + 1, tx + 1, new_b, eff)
+        _rmw_store(planeT_b_, tx + 1, ty + 1, new_b.T, eff)
+        _rmw_store(plane_r_, ty + 1, tx + 1, new_r, eff)
+        _rmw_store(planeT_r_, tx + 1, ty + 1, new_r.T, eff)
+
+    def body(i, _):
+        tile_pair(0, i, plane_ba, planeT_ba, plane_ra, planeT_ra,
+                  vres_ba, vres_ra, vsrc_a, wbuf8_a, wbuf16_a, pred_ba,
+                  pred_ra, sem_a)
+        tile_pair(1, i, plane_bb, planeT_bb, plane_rb, planeT_rb,
+                  vres_bb, vres_rb, vsrc_b, wbuf8_b, wbuf16_b, pred_bb,
+                  pred_rb, sem_b)
+        return 0
+
+    trip = jnp.minimum(
+        jnp.maximum(counts_ref[ta, 0], counts_ref[tb, 0]), n_steps
+    )
+    lax.fori_loop(0, trip, body, 0)
+
+    for plane, out, t in ((plane_ba, outcb_ref, ta), (plane_ra, outcr_ref, ta),
+                          (plane_bb, outcb_ref, tb), (plane_rb, outcr_ref, tb)):
+        cp = pltpu.make_async_copy(
+            plane.at[pl.ds(0, rh), pl.ds(0, rw)], out.at[t], sem_out
+        )
+        cp.start()
+        cp.wait()
+
+
+def intra_scan_pallas_chroma2(
+    res_cb, res_cr, meta, src, h: int, w: int,
+    interpret: bool = False, counts=None,
+):
+    """Merged Cb+Cr intra walk over all tiles (2 tiles per program).
+
+    res_cb/res_cr: [N, hr, wr] int32 chroma residual planes; meta/src as in
+    intra_scan_pallas (identical for both chroma components — HEVC shares
+    chroma intra mode and TU geometry). Returns (cb, cr) [N, h, w] planes.
+    """
+    n, s_steps = meta.shape[0], meta.shape[1]
+    if counts is None:
+        counts = jnp.full((n,), s_steps, jnp.int32)
+    counts = counts.astype(jnp.int32).reshape(n, 1)
+    # lane-pad the src table: HBM->VMEM slab DMA needs 128-aligned lanes
+    src = jnp.pad(
+        src.reshape(n, s_steps, N_REF),
+        ((0, 0), (0, 0), (0, N_REF_PAD - N_REF)),
+    )
+    hp = _round_up(1 + h + SPAD, 8)
+    wp = _round_up(1 + w + SPAD, 128)
+    rh = _round_up(res_cb.shape[1], 8)
+    rw = _round_up(res_cb.shape[2], 128)
+    if (rh, rw) != res_cb.shape[1:]:
+        padw = ((0, 0), (0, rh - res_cb.shape[1]), (0, rw - res_cb.shape[2]))
+        res_cb = jnp.pad(res_cb, padw)
+        res_cr = jnp.pad(res_cr, padw)
+    assert rw == wp, (rw, wp)
+    if n % 2:
+        res_cb = jnp.pad(res_cb, ((0, 1), (0, 0), (0, 0)))
+        res_cr = jnp.pad(res_cr, ((0, 1), (0, 0), (0, 0)))
+        meta = jnp.pad(meta, ((0, 1), (0, 0), (0, 0)))
+        src = jnp.pad(src, ((0, 1), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, ((0, 1), (0, 0)))
+    npad = res_cb.shape[0]
+    wtab = _get_weights()
+    w4 = _get_w4()
+    bias = jnp.asarray(J._PRED_B_NP.reshape(-1))
+    shift = jnp.asarray(J._PRED_SH_NP.reshape(-1))
+    hpT = hp if hp % 128 == 0 else _round_up(hp, 128)
+    kernel = partial(_kernel_chroma, n_steps=s_steps, rh=rh, rw=rw)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bias
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # shift
+            pl.BlockSpec(
+                (2, s_steps, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # src
+            pl.BlockSpec(memory_space=pltpu.ANY),  # res_cb
+            pl.BlockSpec(memory_space=pltpu.ANY),  # res_cr
+            pl.BlockSpec(memory_space=pltpu.ANY),  # weights HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w4
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad, rh, rw), jnp.int32),
+            jax.ShapeDtypeStruct((npad, rh, rw), jnp.int32),
+        ),
+        input_output_aliases={5: 0, 6: 1},
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.int32),   # plane_ba (Cb tile A)
+            pltpu.VMEM((wp, hpT), jnp.int32),
+            pltpu.VMEM((hp, wp), jnp.int32),   # plane_ra (Cr tile A)
+            pltpu.VMEM((wp, hpT), jnp.int32),
+            pltpu.VMEM((hp, wp), jnp.int32),   # plane_bb (Cb tile B)
+            pltpu.VMEM((wp, hpT), jnp.int32),
+            pltpu.VMEM((hp, wp), jnp.int32),   # plane_rb (Cr tile B)
+            pltpu.VMEM((wp, hpT), jnp.int32),
+            pltpu.VMEM((rh, rw), jnp.int32),   # vres_ba
+            pltpu.VMEM((rh, rw), jnp.int32),   # vres_ra
+            pltpu.VMEM((rh, rw), jnp.int32),   # vres_bb
+            pltpu.VMEM((rh, rw), jnp.int32),   # vres_rb
+            pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_a
+            pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_b
+            pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8_a
+            pltpu.VMEM((16, 16, N_REF_PAD), jnp.bfloat16),  # wbuf16_a
+            pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8_b
+            pltpu.VMEM((16, 16, N_REF_PAD), jnp.bfloat16),  # wbuf16_b
+            pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_ba
+            pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_ra
+            pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_bb
+            pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_rb
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(counts, meta, src, res, wtab, bias, shift)
-    return out[:, 1 : 1 + h, 1 : 1 + w]
+    )(counts, bias, shift, meta, src, res_cb, res_cr, wtab, w4)
+    return out[0][:n, 1 : 1 + h, 1 : 1 + w], out[1][:n, 1 : 1 + h, 1 : 1 + w]
 
 
 def build_meta(xs_fields) -> np.ndarray:

@@ -132,6 +132,19 @@ def pack_uniform(syntaxes, sps, pps, slices, n_tiles_pad: int | None = None):
     arrays["horiz_edges"] = stackpad([p.horiz_edges for p in plans])
     arrays["sao"] = stackpad([p.sao.astype(np.int32) for p in plans])
 
+    # PCM sample planes: shipped only when some tile actually contains PCM
+    # blocks (pcm_flag content is rare); zero-filled on device otherwise.
+    if any(p.pcm_planes and any(pl_.any() for pl_ in p.pcm_planes)
+           for p in plans):
+        for c in range(3):
+            hh = H if c == 0 else Hc
+            ww = W if c == 0 else Wc
+            arr = np.zeros((n, hh + PAD, ww + PAD), dtype=np.int32)
+            for i, p in enumerate(plans):
+                if p.pcm_planes:
+                    arr[i, :hh, :ww] = p.pcm_planes[c]
+            arrays[f"pcm{c}"] = arr
+
     p0 = plans[0]
     static = dict(
         n=n,
@@ -207,7 +220,7 @@ def _shard_core(arrays, static):
         # 'unvarying' and break the scan carry typing)
         base = jnp.zeros((n_loc, 1 + h + J.SPAD, 1 + w + J.SPAD), jnp.int32)
         plane0 = base + (res[c][:, :1, :1] * 0)
-        pcm_c = res[c] * 0
+        pcm_c = arrays.get(f"pcm{c}", res[c] * 0)
         scan_fn = partial(
             J.intra_scan_component,
             is_luma=(c == 0),
@@ -319,9 +332,12 @@ def reconstruct_sharded(arrays, static, mesh: Mesh, gather: bool = True):
         mesh=mesh,
         in_specs=(in_specs,),
         out_specs=(out_spec, out_spec, out_spec),
-        # post-all_gather values are replicated in content but the
-        # varying-manual-axis checker cannot prove it statically
-        check_vma=False,
+        # gather=True: lax.all_gather(tiled=True) makes every device hold
+        # identical full plane stacks, but the varying-manual-axis checker
+        # cannot statically infer replication through tiled all_gather, so
+        # the check is disabled for that variant only. gather=False outputs
+        # stay tile-sharded and are fully checked.
+        check_vma=not gather,
     )
     return jax.jit(fn)(arrays)
 
@@ -334,5 +350,8 @@ def decode_grid_sharded(syntaxes, sps, pps, slices, mesh: Mesh | None = None):
     n_pad = -(-n // d) * d
     arrays, static = pack_uniform(syntaxes, sps, pps, slices, n_tiles_pad=n_pad)
     arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
-    y, cb, cr = reconstruct_sharded(arrays, static, mesh)
+    # tile-sharded outputs (gather=False): the stitch happens on host, so
+    # reading the sharded stacks directly avoids a redundant all_gather
+    # and keeps the varying-axis checker enabled
+    y, cb, cr = reconstruct_sharded(arrays, static, mesh, gather=False)
     return [np.asarray(y)[:n], np.asarray(cb)[:n], np.asarray(cr)[:n]]

@@ -28,6 +28,7 @@ class DecodeStats:
     megapixels: float = 0.0
     tiles: int = 0
     tile_errors: int = 0
+    errors: dict = field(default_factory=dict)  # tile index -> message
     bins: int = 0  # CABAC bins decoded (entropy stage)
     ctus: int = 0
     n_devices: int = 1
@@ -68,6 +69,8 @@ class DecodeStats:
             "tile_errors": self.tile_errors,
             "n_devices": self.n_devices,
         }
+        if self.errors:
+            d["errors"] = self.errors
         d.update({k: round(v, 1) for k, v in self.rates().items()})
         return d
 

@@ -12,7 +12,7 @@ from heif_tpu.cabac.syntax import TileSyntaxDecoder
 from heif_tpu.ops import ref_recon as R
 
 
-@pytest.mark.parametrize("comp", [0, 1])
+@pytest.mark.parametrize("comp", [0])
 def test_pallas_intra_interpret_bit_exact(halfmoonbay_bytes, comp):
     import jax.numpy as jnp
 
@@ -64,3 +64,59 @@ def test_pallas_intra_interpret_bit_exact(halfmoonbay_bytes, comp):
     )
     for i in range(n):
         assert (out[i] == refs[i]).all(), f"tile {i} comp {comp} differs"
+
+
+def test_pallas_chroma2_interpret_bit_exact(halfmoonbay_bytes):
+    """Merged Cb+Cr kernel vs the scalar reference, both chroma planes."""
+    import jax.numpy as jnp
+
+    from heif_tpu.ops import jax_recon as J
+    from heif_tpu.ops import pallas_intra as PI
+    from heif_tpu.ops.batch import pack_batch
+
+    r = HeifReader(halfmoonbay_bytes)
+    heif = r.read()
+    rec = heif.hevc_configuration_record()
+    sps = params.parse_sps(
+        remove_emulation_prevention(rec.nal_units_of_type(33)[0][2:])
+    )
+    pps = params.parse_pps(
+        remove_emulation_prevention(rec.nal_units_of_type(34)[0][2:])
+    )
+    slices = [
+        sl.parse_slice_header(
+            sl.split_length_prefixed_nals(r.get_item_data(t), 4)[0], sps, pps
+        )
+        for t in (1, 38)
+    ]
+    sts = [TileSyntaxDecoder(sps, pps, ps).decode() for ps in slices]
+    bp = pack_batch(sts, sps, pps, slices)
+    n = bp.n
+    h, w = bp.height // 2, bp.width // 2
+    res_np = [np.zeros((n, h + J.PAD, w + J.PAD), np.int32) for _ in range(2)]
+    refs = []
+    for i, st in enumerate(sts):
+        rp = R.residual_planes(st, sps)
+        res_np[0][i, :h, :w] = rp[1]
+        res_np[1][i, :h, :w] = rp[2]
+        rec_planes = R.intra_reconstruct(st, rp, sps)
+        refs.append((rec_planes[1], rec_planes[2]))
+    meta = PI.build_meta(bp.xs[1])
+    src = J.ref_sources_device(
+        jnp.asarray(bp.xs[1][0]),
+        jnp.asarray(bp.xs[1][1]),
+        jnp.asarray(bp.xs[1][2]),
+        comp=1, W=bp.width, H=bp.height, ctb_log2=sps.ctb_log2_size_y,
+    )
+    cb, cr = PI.intra_scan_pallas_chroma2(
+        jnp.asarray(res_np[0]),
+        jnp.asarray(res_np[1]),
+        jnp.asarray(meta),
+        src,
+        h, w,
+        interpret=True,
+    )
+    cb, cr = np.asarray(cb), np.asarray(cr)
+    for i in range(n):
+        assert (cb[i] == refs[i][0]).all(), f"tile {i} Cb differs"
+        assert (cr[i] == refs[i][1]).all(), f"tile {i} Cr differs"

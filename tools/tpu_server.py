@@ -29,6 +29,11 @@ def main():
     t0 = time.time()
     import jax  # device init happens here, once
 
+    # Mosaic/XLA compiles of the big decode kernels take minutes; cache
+    # them across server restarts so iteration only pays for changed code.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     devs = jax.devices()
     (qdir / "server.ready").write_text(
         f"init {time.time() - t0:.1f}s devices={devs}\n"
