@@ -324,34 +324,41 @@ def _luma_fixups(pred, left, top, size, log2, mode, iota65, rr32, cc32):
 
 
 # --------------------------------------------------------------------------
-# luma kernel: 2 tiles per program
+# luma kernel: 2 tiles per program, residuals preloaded into the planes
 # --------------------------------------------------------------------------
+#
+# The reconstruction plane doubles as the residual buffer: the wrapper
+# shifts the residual plane to the +1 origin and the kernel DMAs it (and
+# its transpose) straight into the VMEM plane scratch. Each TU reads its
+# residual block from the plane right before overwriting that region with
+# reconstructed samples — TU regions are disjoint, and reference strips
+# only ever *select* positions the z-order availability analysis marked
+# decoded, so residual values at not-yet-decoded positions are never
+# consumed. This removes the separate residual VMEM slabs (~2.8 MB for a
+# luma pair) that previously pushed the kernel over the 16 MB VMEM budget.
 
 
-def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm, res_hbm,
-                 w_hbm, w4_ref, out_ref,
-                 plane_a, planeT_a, plane_b, planeT_b, vres_a, vres_b,
-                 vsrc_a, vsrc_b, wbuf8_a, wbuf16_a, wbuf32_a, wbuf8_b,
-                 wbuf16_b, wbuf32_b, pred_a, pred_b, sem_in, sem_a, sem_b,
-                 sem_out, *, n_steps: int, strong_smoothing: bool,
-                 rh: int, rw: int):
+def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
+                 res_hbm, resT_hbm, w_hbm, w4_ref, out_ref,
+                 plane_a, planeT_a, plane_b, planeT_b, vsrc_a, vsrc_b,
+                 wbuf8_a, wbuf16_a, wbuf32_a, wbuf8_b, wbuf16_b,
+                 wbuf32_b, pred_a, pred_b, sem_in, sem_a, sem_b, sem_out,
+                 *, n_steps: int, strong_smoothing: bool):
     pid = pl.program_id(0)
     ta = 2 * pid
     tb = 2 * pid + 1
 
-    # slab-DMA this pair's worklists + residual planes into VMEM
+    # slab-DMA worklists + residual-preloaded planes into VMEM
     cps = [
         pltpu.make_async_copy(src_hbm.at[ta], vsrc_a, sem_in),
         pltpu.make_async_copy(src_hbm.at[tb], vsrc_b, sem_in),
-        pltpu.make_async_copy(res_hbm.at[ta], vres_a, sem_in),
-        pltpu.make_async_copy(res_hbm.at[tb], vres_b, sem_in),
+        pltpu.make_async_copy(res_hbm.at[ta], plane_a, sem_in),
+        pltpu.make_async_copy(resT_hbm.at[ta], planeT_a, sem_in),
+        pltpu.make_async_copy(res_hbm.at[tb], plane_b, sem_in),
+        pltpu.make_async_copy(resT_hbm.at[tb], planeT_b, sem_in),
     ]
     for cp in cps:
         cp.start()
-    plane_a[...] = jnp.zeros_like(plane_a)
-    planeT_a[...] = jnp.zeros_like(planeT_a)
-    plane_b[...] = jnp.zeros_like(plane_b)
-    planeT_b[...] = jnp.zeros_like(planeT_b)
     for cp in cps:
         cp.wait()
 
@@ -361,8 +368,7 @@ def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm, res_hbm,
     pad0 = jnp.zeros((1, N_REF_PAD - N_REF), jnp.int32)
     bi_nref = jax.lax.broadcasted_iota(jnp.int32, (N_REF, N_REF), 0)
 
-    def chain(slot, i, plane, planeT, vres, vsrc, wb8, wb16, wb32, predb,
-              sem):
+    def chain(slot, i, plane, planeT, vsrc, wb8, wb16, wb32, predb, sem):
         tx = meta_ref[slot, i, M_TX]
         ty = meta_ref[slot, i, M_TY]
         size = meta_ref[slot, i, M_SIZE]
@@ -390,16 +396,17 @@ def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm, res_hbm,
         pred = _luma_fixups(
             predb[...], left, top, size, log2, mode, iota65, rr32, cc32
         )
-        res = _block_load(vres, ty, tx)
+        # residual still lives in the plane at this TU's (+1) region
+        res = _block_load(plane, ty + 1, tx + 1)
         new = jnp.clip(pred + res, 0, 255)
         eff = jnp.where(active > 0, size, 0)
         _rmw_store(plane, ty + 1, tx + 1, new, eff)
         _rmw_store(planeT, tx + 1, ty + 1, new.T, eff)
 
     def body(i, _):
-        chain(0, i, plane_a, planeT_a, vres_a, vsrc_a, wbuf8_a, wbuf16_a,
+        chain(0, i, plane_a, planeT_a, vsrc_a, wbuf8_a, wbuf16_a,
               wbuf32_a, pred_a, sem_a)
-        chain(1, i, plane_b, planeT_b, vres_b, vsrc_b, wbuf8_b, wbuf16_b,
+        chain(1, i, plane_b, planeT_b, vsrc_b, wbuf8_b, wbuf16_b,
               wbuf32_b, pred_b, sem_b)
         return 0
 
@@ -408,17 +415,31 @@ def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm, res_hbm,
     )
     lax.fori_loop(0, trip, body, 0)
 
-    # write the +1-origin planes back over the residual buffers
-    oa = pltpu.make_async_copy(
-        plane_a.at[pl.ds(0, rh), pl.ds(0, rw)], out_ref.at[ta], sem_out
-    )
+    # write the +1-origin reconstructed planes back over the residual input
+    oa = pltpu.make_async_copy(plane_a, out_ref.at[ta], sem_out)
     oa.start()
-    oa.wait()
-    ob = pltpu.make_async_copy(
-        plane_b.at[pl.ds(0, rh), pl.ds(0, rw)], out_ref.at[tb], sem_out
-    )
+    ob = pltpu.make_async_copy(plane_b, out_ref.at[tb], sem_out)
     ob.start()
+    oa.wait()
     ob.wait()
+
+
+def _shift_res(res, n, hp, wp, hpT):
+    """Pad + shift residual planes to the +1 plane origin, and transpose.
+
+    res: [n, rh, rw] (rh/rw = h+PAD lane-padded). Returns (res_shift
+    [n, hp, wp], resT [n, wp, hpT]) with res[y, x] at [1+y, 1+x].
+    """
+    rh = min(res.shape[1], hp - 1)
+    rw = min(res.shape[2], wp - 1)
+    res_shift = jnp.zeros((n, hp, wp), res.dtype)
+    res_shift = res_shift.at[:, 1 : 1 + rh, 1 : 1 + rw].set(
+        res[:, :rh, :rw]
+    )
+    resT = jnp.swapaxes(res_shift, 1, 2)  # (n, wp, hp)
+    if hpT != hp:
+        resT = jnp.pad(resT, ((0, 0), (0, 0), (0, hpT - hp)))
+    return res_shift, resT
 
 
 def intra_scan_pallas(
@@ -444,30 +465,20 @@ def intra_scan_pallas(
     )
     hp = _round_up(1 + h + SPAD, 8)
     wp = _round_up(1 + w + SPAD, 128)
-    rh = _round_up(res.shape[1], 8)
-    rw = _round_up(res.shape[2], 128)
-    if (rh, rw) != res.shape[1:]:
-        res = jnp.pad(
-            res, ((0, 0), (0, rh - res.shape[1]), (0, rw - res.shape[2]))
-        )
-    assert rw == wp, (rw, wp)
+    hpT = hp if hp % 128 == 0 else _round_up(hp, 128)
     if n % 2:
         res = jnp.pad(res, ((0, 1), (0, 0), (0, 0)))
         meta = jnp.pad(meta, ((0, 1), (0, 0), (0, 0)))
         src = jnp.pad(src, ((0, 1), (0, 0), (0, 0)))
         counts = jnp.pad(counts, ((0, 1), (0, 0)))
     npad = res.shape[0]
+    res_shift, resT = _shift_res(res, npad, hp, wp, hpT)
     wtab = _get_weights()
     w4 = _get_w4()
     bias = jnp.asarray(J._PRED_B_NP.reshape(-1))
     shift = jnp.asarray(J._PRED_SH_NP.reshape(-1))
-    hpT = hp if hp % 128 == 0 else _round_up(hp, 128)
     kernel = partial(
-        _kernel_luma,
-        n_steps=s_steps,
-        strong_smoothing=strong_smoothing,
-        rh=rh,
-        rw=rw,
+        _kernel_luma, n_steps=s_steps, strong_smoothing=strong_smoothing
     )
     out = pl.pallas_call(
         kernel,
@@ -480,20 +491,19 @@ def intra_scan_pallas(
                 (2, s_steps, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),  # meta pair
             pl.BlockSpec(memory_space=pltpu.ANY),  # src (slab DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # res (slab DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # res_shift (-> plane)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # resT (-> planeT)
             pl.BlockSpec(memory_space=pltpu.ANY),  # weights HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w4 table
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((npad, rh, rw), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((npad, hp, wp), jnp.int32),
         input_output_aliases={5: 0},
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.int32),   # plane_a
             pltpu.VMEM((wp, hpT), jnp.int32),  # planeT_a
             pltpu.VMEM((hp, wp), jnp.int32),   # plane_b
             pltpu.VMEM((wp, hpT), jnp.int32),  # planeT_b
-            pltpu.VMEM((rh, rw), jnp.int32),   # vres_a
-            pltpu.VMEM((rh, rw), jnp.int32),   # vres_b
             pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_a
             pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_b
             pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8_a
@@ -510,7 +520,7 @@ def intra_scan_pallas(
             pltpu.SemaphoreType.DMA,  # sem_out
         ],
         interpret=interpret,
-    )(counts, bias, shift, meta, src, res, wtab, w4)
+    )(counts, bias, shift, meta, src, res_shift, resT, wtab, w4)
     return out[:n, 1 : 1 + h, 1 : 1 + w]
 
 
@@ -520,13 +530,13 @@ def intra_scan_pallas(
 
 
 def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
-                   rescb_hbm, rescr_hbm, w_hbm, w4_ref, outcb_ref, outcr_ref,
+                   rcb_hbm, rcbT_hbm, rcr_hbm, rcrT_hbm, w_hbm, w4_ref,
+                   outcb_ref, outcr_ref,
                    plane_ba, planeT_ba, plane_ra, planeT_ra,
                    plane_bb, planeT_bb, plane_rb, planeT_rb,
-                   vres_ba, vres_ra, vres_bb, vres_rb, vsrc_a, vsrc_b,
-                   wbuf8_a, wbuf16_a, wbuf8_b, wbuf16_b, pred_ba, pred_ra,
-                   pred_bb, pred_rb, sem_in, sem_a, sem_b, sem_out, *,
-                   n_steps: int, rh: int, rw: int):
+                   vsrc_a, vsrc_b, wbuf8_a, wbuf16_a, wbuf8_b,
+                   wbuf16_b, pred_ba, pred_ra, pred_bb, pred_rb,
+                   sem_in, sem_a, sem_b, sem_out, *, n_steps: int):
     pid = pl.program_id(0)
     ta = 2 * pid
     tb = 2 * pid + 1
@@ -534,16 +544,17 @@ def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
     cps = [
         pltpu.make_async_copy(src_hbm.at[ta], vsrc_a, sem_in),
         pltpu.make_async_copy(src_hbm.at[tb], vsrc_b, sem_in),
-        pltpu.make_async_copy(rescb_hbm.at[ta], vres_ba, sem_in),
-        pltpu.make_async_copy(rescr_hbm.at[ta], vres_ra, sem_in),
-        pltpu.make_async_copy(rescb_hbm.at[tb], vres_bb, sem_in),
-        pltpu.make_async_copy(rescr_hbm.at[tb], vres_rb, sem_in),
+        pltpu.make_async_copy(rcb_hbm.at[ta], plane_ba, sem_in),
+        pltpu.make_async_copy(rcbT_hbm.at[ta], planeT_ba, sem_in),
+        pltpu.make_async_copy(rcr_hbm.at[ta], plane_ra, sem_in),
+        pltpu.make_async_copy(rcrT_hbm.at[ta], planeT_ra, sem_in),
+        pltpu.make_async_copy(rcb_hbm.at[tb], plane_bb, sem_in),
+        pltpu.make_async_copy(rcbT_hbm.at[tb], planeT_bb, sem_in),
+        pltpu.make_async_copy(rcr_hbm.at[tb], plane_rb, sem_in),
+        pltpu.make_async_copy(rcrT_hbm.at[tb], planeT_rb, sem_in),
     ]
     for cp in cps:
         cp.start()
-    for buf in (plane_ba, planeT_ba, plane_ra, planeT_ra,
-                plane_bb, planeT_bb, plane_rb, planeT_rb):
-        buf[...] = jnp.zeros_like(buf)
     for cp in cps:
         cp.wait()
 
@@ -551,7 +562,7 @@ def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
     bi_nref = jax.lax.broadcasted_iota(jnp.int32, (N_REF, N_REF), 0)
 
     def tile_pair(slot, i, plane_b_, planeT_b_, plane_r_, planeT_r_,
-                  vres_b_, vres_r_, vsrc, wb8, wb16, predb, predr, sem):
+                  vsrc, wb8, wb16, predb, predr, sem):
         """One step for one tile's Cb+Cr chains (shared worklist/mode)."""
         tx = meta_ref[slot, i, M_TX]
         ty = meta_ref[slot, i, M_TY]
@@ -608,8 +619,8 @@ def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
                 ((0, 0), (0, MAX_S - 16)),
             )
 
-        res_b = _block_load(vres_b_, ty, tx)
-        res_r = _block_load(vres_r_, ty, tx)
+        res_b = _block_load(plane_b_, ty + 1, tx + 1)
+        res_r = _block_load(plane_r_, ty + 1, tx + 1)
         new_b = jnp.clip(predb[...] + res_b, 0, 255)
         new_r = jnp.clip(predr[...] + res_r, 0, 255)
         eff = jnp.where(active > 0, size, 0)
@@ -620,11 +631,9 @@ def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
 
     def body(i, _):
         tile_pair(0, i, plane_ba, planeT_ba, plane_ra, planeT_ra,
-                  vres_ba, vres_ra, vsrc_a, wbuf8_a, wbuf16_a, pred_ba,
-                  pred_ra, sem_a)
+                  vsrc_a, wbuf8_a, wbuf16_a, pred_ba, pred_ra, sem_a)
         tile_pair(1, i, plane_bb, planeT_bb, plane_rb, planeT_rb,
-                  vres_bb, vres_rb, vsrc_b, wbuf8_b, wbuf16_b, pred_bb,
-                  pred_rb, sem_b)
+                  vsrc_b, wbuf8_b, wbuf16_b, pred_bb, pred_rb, sem_b)
         return 0
 
     trip = jnp.minimum(
@@ -634,9 +643,7 @@ def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
 
     for plane, out, t in ((plane_ba, outcb_ref, ta), (plane_ra, outcr_ref, ta),
                           (plane_bb, outcb_ref, tb), (plane_rb, outcr_ref, tb)):
-        cp = pltpu.make_async_copy(
-            plane.at[pl.ds(0, rh), pl.ds(0, rw)], out.at[t], sem_out
-        )
+        cp = pltpu.make_async_copy(plane, out.at[t], sem_out)
         cp.start()
         cp.wait()
 
@@ -662,13 +669,7 @@ def intra_scan_pallas_chroma2(
     )
     hp = _round_up(1 + h + SPAD, 8)
     wp = _round_up(1 + w + SPAD, 128)
-    rh = _round_up(res_cb.shape[1], 8)
-    rw = _round_up(res_cb.shape[2], 128)
-    if (rh, rw) != res_cb.shape[1:]:
-        padw = ((0, 0), (0, rh - res_cb.shape[1]), (0, rw - res_cb.shape[2]))
-        res_cb = jnp.pad(res_cb, padw)
-        res_cr = jnp.pad(res_cr, padw)
-    assert rw == wp, (rw, wp)
+    hpT = hp if hp % 128 == 0 else _round_up(hp, 128)
     if n % 2:
         res_cb = jnp.pad(res_cb, ((0, 1), (0, 0), (0, 0)))
         res_cr = jnp.pad(res_cr, ((0, 1), (0, 0), (0, 0)))
@@ -676,12 +677,17 @@ def intra_scan_pallas_chroma2(
         src = jnp.pad(src, ((0, 1), (0, 0), (0, 0)))
         counts = jnp.pad(counts, ((0, 1), (0, 0)))
     npad = res_cb.shape[0]
+    rcb, rcbT = _shift_res(res_cb, npad, hp, wp, hpT)
+    rcr, rcrT = _shift_res(res_cr, npad, hp, wp, hpT)
     wtab = _get_weights()
     w4 = _get_w4()
     bias = jnp.asarray(J._PRED_B_NP.reshape(-1))
     shift = jnp.asarray(J._PRED_SH_NP.reshape(-1))
-    hpT = hp if hp % 128 == 0 else _round_up(hp, 128)
-    kernel = partial(_kernel_chroma, n_steps=s_steps, rh=rh, rw=rw)
+    kernel = partial(_kernel_chroma, n_steps=s_steps)
+    plane_vmem = [
+        pltpu.VMEM((hp, wp), jnp.int32),
+        pltpu.VMEM((wp, hpT), jnp.int32),
+    ] * 4
     out = pl.pallas_call(
         kernel,
         grid=(npad // 2,),
@@ -691,10 +697,12 @@ def intra_scan_pallas_chroma2(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # shift
             pl.BlockSpec(
                 (2, s_steps, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
+            ),  # meta pair
             pl.BlockSpec(memory_space=pltpu.ANY),  # src
             pl.BlockSpec(memory_space=pltpu.ANY),  # res_cb
+            pl.BlockSpec(memory_space=pltpu.ANY),  # res_cbT
             pl.BlockSpec(memory_space=pltpu.ANY),  # res_cr
+            pl.BlockSpec(memory_space=pltpu.ANY),  # res_crT
             pl.BlockSpec(memory_space=pltpu.ANY),  # weights HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w4
         ],
@@ -703,23 +711,11 @@ def intra_scan_pallas_chroma2(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((npad, rh, rw), jnp.int32),
-            jax.ShapeDtypeStruct((npad, rh, rw), jnp.int32),
+            jax.ShapeDtypeStruct((npad, hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((npad, hp, wp), jnp.int32),
         ),
-        input_output_aliases={5: 0, 6: 1},
-        scratch_shapes=[
-            pltpu.VMEM((hp, wp), jnp.int32),   # plane_ba (Cb tile A)
-            pltpu.VMEM((wp, hpT), jnp.int32),
-            pltpu.VMEM((hp, wp), jnp.int32),   # plane_ra (Cr tile A)
-            pltpu.VMEM((wp, hpT), jnp.int32),
-            pltpu.VMEM((hp, wp), jnp.int32),   # plane_bb (Cb tile B)
-            pltpu.VMEM((wp, hpT), jnp.int32),
-            pltpu.VMEM((hp, wp), jnp.int32),   # plane_rb (Cr tile B)
-            pltpu.VMEM((wp, hpT), jnp.int32),
-            pltpu.VMEM((rh, rw), jnp.int32),   # vres_ba
-            pltpu.VMEM((rh, rw), jnp.int32),   # vres_ra
-            pltpu.VMEM((rh, rw), jnp.int32),   # vres_bb
-            pltpu.VMEM((rh, rw), jnp.int32),   # vres_rb
+        input_output_aliases={5: 0, 7: 1},
+        scratch_shapes=plane_vmem + [
             pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_a
             pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_b
             pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8_a
@@ -736,7 +732,7 @@ def intra_scan_pallas_chroma2(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(counts, bias, shift, meta, src, res_cb, res_cr, wtab, w4)
+    )(counts, bias, shift, meta, src, rcb, rcbT, rcr, rcrT, wtab, w4)
     return out[0][:n, 1 : 1 + h, 1 : 1 + w], out[1][:n, 1 : 1 + h, 1 : 1 + w]
 
 

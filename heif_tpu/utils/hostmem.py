@@ -34,3 +34,4 @@ def tune_allocator() -> bool:
     except Exception:
         _done = False
     return _done
+

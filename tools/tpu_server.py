@@ -29,10 +29,9 @@ def main():
     t0 = time.time()
     import jax  # device init happens here, once
 
-    # Mosaic/XLA compiles of the big decode kernels take minutes; cache
-    # them across server restarts so iteration only pays for changed code.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Share the package's persistent compile cache (heif_tpu/__init__.py)
+    # so server jobs and standalone runs reuse each other's kernels.
+    import heif_tpu  # noqa: F401  (configures jax_compilation_cache_dir)
 
     devs = jax.devices()
     (qdir / "server.ready").write_text(
