@@ -8,6 +8,11 @@ single-threaded libde265 on this host's CPU (the strongest available
 oracle — the reference itself publishes no numbers, BASELINE.md), or
 null when libde265 is not installed.
 
+On tunneled TPU hosts the decoded-plane readback (18.3 MB at ~25 MB/s)
+is the e2e floor, so the line also reports device_mp_s: decode-to-device
+throughput with the planes left on the TPU (the production serving path,
+where decoded pixels feed a model without a host round-trip).
+
 Run on whatever platform JAX selects (TPU under the driver; CPU works too).
 """
 
@@ -51,8 +56,7 @@ def main():
 
     data = open("tests/assets/halfmoonbay.heic", "rb").read()
 
-    def decode_once():
-        stats = DecodeStats()
+    def parse():
         r = HeifReader(data)
         heif = r.read()
         rec = heif.hevc_configuration_record()
@@ -65,6 +69,11 @@ def main():
         primary = heif.primary_item_id()
         grid = parse_grid_config(r.get_item_data(primary))
         tile_ids = heif.item_ids_referencing(primary, "dimg")
+        return r, sps, pps, grid, tile_ids
+
+    def decode_once():
+        stats = DecodeStats()
+        r, sps, pps, grid, tile_ids = parse()
         with stats.stage("hdr"):
             slices = [
                 sl.parse_slice_header(
@@ -89,6 +98,25 @@ def main():
         stats.megapixels = (y.shape[0] * y.shape[1]) / 1e6
         return (y, cb, cr), stats
 
+    def decode_to_device_once():
+        """Decode with planes left on the TPU (no host readback)."""
+        import jax
+
+        r, sps, pps, grid, tile_ids = parse()
+        slices = [
+            sl.parse_slice_header(
+                sl.split_length_prefixed_nals(r.get_item_data(t), 4)[0],
+                sps, pps,
+            )
+            for t in tile_ids
+        ]
+        t0 = time.perf_counter()
+        outs = decode_reconstruct_overlapped(
+            sps, pps, slices, readback=False
+        )
+        jax.block_until_ready(outs)
+        return time.perf_counter() - t0
+
     # warmup (jit compile + page-fault warm-in: first-touch faults cost
     # ~300us/page on these microVM hosts, see utils/hostmem.py)
     import gc
@@ -108,6 +136,13 @@ def main():
     stats = all_stats[times.index(best)]
     print(f"# best {best:.3f}s  {stats.summary()}  ({mp:.1f} MP)", file=sys.stderr)
 
+    dev_times = [decode_to_device_once() for _ in range(3)]
+    dev_mp_s = round(mp / min(dev_times), 3)
+    print(
+        f"# decode-to-device (no host readback): {dev_mp_s} MP/s",
+        file=sys.stderr,
+    )
+
     base = baseline_mp_per_s(data, mp)
     if base is not None:
         print(f"# libde265 1-thread CPU baseline: {base:.2f} MP/s", file=sys.stderr)
@@ -119,6 +154,13 @@ def main():
                 "value": value,
                 "unit": "megapixels/s",
                 "vs_baseline": round(value / base, 3) if base else None,
+                "device_mp_s": dev_mp_s,
+                "device_vs_baseline": (
+                    round(dev_mp_s / base, 3) if base else None
+                ),
+                "stages_ms": {
+                    k: round(v * 1e3) for k, v in stats.stages.items()
+                },
             }
         )
     )

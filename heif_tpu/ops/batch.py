@@ -594,15 +594,19 @@ def _merge_sticky(key, n_steps, caps):
 
 
 def decode_reconstruct_overlapped(
-    sps, pps, slices, entropy_fn=None, chunk: int = 12
+    sps, pps, slices, entropy_fn=None, chunk: int = 8, readback: bool = True
 ) -> list:
     """Full tile decode with host entropy overlapped against device compute.
 
     Entropy (C++ CABAC, threaded) for chunk k+1 runs on a background
     thread while chunk k is packed and dispatched to the TPU; plane
-    readback is async. The serial critical path collapses to
-    max(device compute, host entropy) + first-chunk entropy.
-    Returns [Y, Cb, Cr] stacked numpy planes for all N tiles.
+    readback is async and overlaps everything after the first chunk. On
+    tunneled TPU hosts the device->host link (~25 MB/s) dominates, so the
+    critical path is first-chunk-latency + total plane readback — chunk=8
+    starts the readback stream early without multiplying compiled shapes.
+    Returns [Y, Cb, Cr] stacked numpy planes for all N tiles; with
+    readback=False, returns the per-chunk device arrays instead
+    (list of [y, cb, cr] jax arrays — the decode-to-device serving path).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -647,11 +651,14 @@ def decode_reconstruct_overlapped(
                 syn, sps, pps, sl_chunk, n_steps=n_steps, class_caps=caps
             )
             planes = _dispatch_core(bp)
-            for p in planes:
-                p.copy_to_host_async()
+            if readback:
+                for p in planes:
+                    p.copy_to_host_async()
             outs.append(planes)
     finally:
         ex.shutdown(wait=False, cancel_futures=True)
+    if not readback:
+        return outs
     return [
         np.concatenate([np.asarray(o[c]) for o in outs], axis=0)[:n]
         for c in range(3)
