@@ -121,12 +121,22 @@ def main():
     # ~300us/page on these microVM hosts, see utils/hostmem.py)
     import gc
 
+    t_w0 = time.perf_counter()
     (y, cb, cr), _ = decode_once()
+    warm_s = time.perf_counter() - t_w0
     mp = (y.shape[0] * y.shape[1]) / 1e6
+    print(f"# warmup (incl. compile): {warm_s:.1f}s", file=sys.stderr)
 
-    times = []
-    all_stats = []
-    for _ in range(5):
+    # adaptive repeat count: the driver gives the whole bench ~10 min and
+    # cold AOT compiles on tunneled hosts can eat most of it — scale the
+    # measured repeats to the per-run cost so the bench always finishes
+    t0 = time.perf_counter()
+    _, stats0 = decode_once()
+    t1 = time.perf_counter() - t0
+    reps = max(1, min(4, int(45.0 / max(t1, 1e-3))))
+    times = [t1]
+    all_stats = [stats0]
+    for _ in range(reps):
         gc.collect()
         t0 = time.perf_counter()
         _, stats = decode_once()
@@ -136,7 +146,8 @@ def main():
     stats = all_stats[times.index(best)]
     print(f"# best {best:.3f}s  {stats.summary()}  ({mp:.1f} MP)", file=sys.stderr)
 
-    dev_times = [decode_to_device_once() for _ in range(3)]
+    dev_reps = max(1, min(3, int(30.0 / max(best, 1e-3))))
+    dev_times = [decode_to_device_once() for _ in range(dev_reps)]
     dev_mp_s = round(mp / min(dev_times), 3)
     print(
         f"# decode-to-device (no host readback): {dev_mp_s} MP/s",

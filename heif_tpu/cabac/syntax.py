@@ -62,6 +62,18 @@ class TileSyntaxDecoder:
 
         if sps.chroma_format_idc != 1:
             raise NotImplementedError("only 4:2:0 supported")
+        if pps.tiles_enabled_flag:
+            # tile-segmented pictures interleave substreams per tile
+            # column; decoding them with the raster CTU loop would
+            # silently desync — refuse instead (parse-level support for
+            # the PPS tile geometry exists, decode does not; mirrors the
+            # reference which parses but never decodes tiles,
+            # src/hevc/parameter_set_reader.rs:383-412)
+            raise NotImplementedError(
+                "tiles_enabled_flag=1 bitstreams are not supported "
+                "(PPS tile geometry is parsed, tile-segmented decode "
+                "is not)"
+            )
 
         self.W = sps.pic_width_in_luma_samples
         self.H = sps.pic_height_in_luma_samples
@@ -75,6 +87,8 @@ class TileSyntaxDecoder:
         self.slice_qp_y = self.sh.slice_qp_y(pps)
         self.bd_y = sps.bit_depth_y
         self.bd_c = sps.bit_depth_c
+        self.qp_bd_y = 6 * (self.bd_y - 8)  # QpBdOffsetY (§7.4.3.2.1)
+        self.qp_bd_c = 6 * (self.bd_c - 8)
         self.log2_min_cu_qp_delta = self.ctb_log2 - pps.diff_cu_qp_delta_depth
 
         # 4x4-granularity state planes (luma coordinates)
@@ -409,10 +423,15 @@ class TileSyntaxDecoder:
 
     def _finalize_qg(self) -> None:
         """Close the current quantization group: its final QpY (with the
-        decoded delta) covers the whole QG area (8-bit: QpBdOffsetY=0)."""
+        decoded delta) covers the whole QG area."""
         if not self.qg_open:
             return
-        qp = (self.qg_pred + self.cu_qp_delta_val + 52) % 52
+        # §8.6.1: QpY wraps in [-QpBdOffsetY, 51]
+        off = self.qp_bd_y
+        qp = (
+            (self.qg_pred + self.cu_qp_delta_val + 52 + 2 * off)
+            % (52 + off)
+        ) - off
         size = 1 << self.qg_log2
         g4x, g4y = self.qg_x >> 2, self.qg_y >> 2
         s4w = min(size, self.W - self.qg_x) >> 2
@@ -648,7 +667,7 @@ class TileSyntaxDecoder:
 
         # current QG luma QP (for dequant)
         qp_y = self._current_qp_y()
-        qp_prime_y = qp_y  # 8-bit: QpBdOffsetY == 0
+        qp_prime_y = qp_y + self.qp_bd_y  # Qp'Y (§8.6.1)
 
         # luma TU
         mode_y = int(self.intra_mode_y[y0 >> 2, x0 >> 2])
@@ -674,10 +693,12 @@ class TileSyntaxDecoder:
             qcb = chroma_qp_from_luma(
                 qp_y,
                 self.pps.pps_cb_qp_offset + self.sh.slice_cb_qp_offset,
+                self.qp_bd_c,
             )
             qcr = chroma_qp_from_luma(
                 qp_y,
                 self.pps.pps_cr_qp_offset + self.sh.slice_cr_qp_offset,
+                self.qp_bd_c,
             )
             scan_c = intra_scan_idx(log2c, mode_c, 1)
             for comp, cbf_c, qpc in ((1, cbf_cb, qcb), (2, cbf_cr, qcr)):

@@ -34,6 +34,34 @@ def split_length_prefixed_nals(payload: bytes, length_size: int) -> list[bytes]:
     return out
 
 
+def split_annexb_nals(stream: bytes) -> list[bytes]:
+    """Split an Annex-B byte stream (00 00 [00] 01 start codes) into NAL
+    units. Used by the fixture matrix (x265 emits Annex-B) and the raw
+    `.hevc` decode surface; the reference only handles length-prefixed
+    item payloads (src/heic/decoder.rs:146-164)."""
+    out = []
+    n = len(stream)
+    pos = 0
+    # find the first start code
+    while pos + 3 <= n and stream[pos : pos + 3] != b"\x00\x00\x01":
+        pos += 1
+    pos += 3
+    start = pos
+    while pos + 3 <= n:
+        if stream[pos : pos + 3] == b"\x00\x00\x01":
+            end = pos
+            if end > start and stream[end - 1] == 0:  # 4-byte start code
+                end -= 1
+            out.append(stream[start:end])
+            pos += 3
+            start = pos
+        else:
+            pos += 1
+    if start < n:
+        out.append(stream[start:n])
+    return [nal for nal in out if nal]
+
+
 @dataclass
 class ParsedSlice:
     """A slice NAL ready for entropy decode."""

@@ -265,6 +265,54 @@ class HeicDecoder:
         return planes
 
     @staticmethod
+    def decode_hevc(stream: bytes, backend: str = "ref") -> dict:
+        """Decode a raw single-picture HEVC Annex-B intra stream.
+
+        Exceeds the reference (which only decodes NALs embedded in HEIF
+        containers): accepts bare `.hevc` byte streams such as x265
+        output, used by the bitstream fixture matrix. Returns
+        {"Y", "Cb", "Cr"} uint8 planes.
+        """
+        from heif_tpu.hevc import params
+        from heif_tpu.hevc import slice as sl
+        from heif_tpu.hevc.rbsp import remove_emulation_prevention
+        from heif_tpu.cabac.syntax import TileSyntaxDecoder
+        from heif_tpu.hevc import grammar as hg
+
+        sps = pps = None
+        slice_nal = None
+        for nal in sl.split_annexb_nals(stream):
+            kind = (nal[0] >> 1) & 0x3F
+            if kind == 33:
+                sps = params.parse_sps(remove_emulation_prevention(nal[2:]))
+            elif kind == 34:
+                pps = params.parse_pps(remove_emulation_prevention(nal[2:]))
+            elif kind <= 31 and slice_nal is None:  # first VCL NAL
+                slice_nal = nal
+        if sps is None or pps is None or slice_nal is None:
+            raise ValueError("stream lacks SPS/PPS/slice NAL")
+        ps = sl.parse_slice_header(slice_nal, sps, pps)
+
+        from heif_tpu import native
+
+        if native.available() and sps.bit_depth_y == 8:
+            st = native.decode_tile_native(sps, pps, ps)
+        else:
+            st = TileSyntaxDecoder(sps, pps, ps).decode()
+
+        if backend == "ref":
+            from heif_tpu.ops.ref_recon import reconstruct_tile
+
+            y, cb, cr = reconstruct_tile(st, sps, pps, ps.header)
+        elif backend == "jax":
+            from heif_tpu.ops.jax_recon import reconstruct_tiles_batched
+
+            y, cb, cr = reconstruct_tiles_batched([st], sps, pps, [ps])[0]
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+        return {"Y": y, "Cb": cb, "Cr": cr, "sps": sps, "pps": pps}
+
+    @staticmethod
     def _stitch(tiles, grid, sps, apply_rotation: bool, angle: int) -> dict:
         """Assemble decoded tiles into the output canvas, crop to the grid
         output size, and apply irot (CCW multiples of 90 degrees)."""

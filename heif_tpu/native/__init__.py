@@ -145,6 +145,12 @@ def decode_tile_native(
     parsed: ParsedSlice,
 ) -> T.SyntaxTensors:
     """Native equivalent of TileSyntaxDecoder(...).decode()."""
+    if pps.tiles_enabled_flag:
+        # same guard as TileSyntaxDecoder: the raster CTU loop would
+        # silently desync on tile-segmented substreams
+        raise NotImplementedError(
+            "tiles_enabled_flag=1 bitstreams are not supported"
+        )
     lib = _load()
     W = sps.pic_width_in_luma_samples
     H = sps.pic_height_in_luma_samples

@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -398,6 +399,7 @@ struct Decoder {
         build_scan(scans[s][l], 4, s);         // in-subblock scan is 4x4
         build_scan(sb_scans[s][l], 1 << l, s); // subblock grid 1,2,4,8
       }
+    ct_depth_buf.assign((size_t)g4h * g4w, 0);
     // default intra modes = DC (1)
     memset(O->intra_mode_y, 1, (size_t)g4h * g4w);
     memset(O->intra_mode_c, 1, (size_t)g4h * g4w);
@@ -410,7 +412,9 @@ struct Decoder {
   inline uint8_t& bypm(int x4, int y4) { return O->bypass_map[y4 * g4w + x4]; }
   inline uint8_t& pcmm(int x4, int y4) { return O->pcm_map[y4 * g4w + x4]; }
 
-  int8_t ct_depth_buf[128 * 128];
+  // sized g4w*g4h in init(): pictures wider than 512 (e.g. the sample's
+  // 2016x1512 auxiliary hvc1 item) overflowed the old fixed 128*128 buffer
+  std::vector<int8_t> ct_depth_buf;
   inline int8_t& ctd(int x4, int y4) { return ct_depth_buf[y4 * g4w + x4]; }
 
   // ------------------------------------------------------------------

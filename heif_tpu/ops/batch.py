@@ -446,11 +446,19 @@ _core_jit = jax.jit(
 )
 
 
+# set to True after the first Pallas compile/launch failure in this
+# process: later chunks go straight to the XLA path instead of re-paying
+# the (minutes-long on tunneled hosts) failing compile every time.
+_pallas_broken = False
+
+
 def _pallas_ok(bp: BatchPlan) -> bool:
     """Pallas intra path: real TPU only, no PCM tiles (XLA path covers
     those), standard tile geometry."""
     import os
 
+    if _pallas_broken:
+        return False
     if os.environ.get("HEIF_TPU_NO_PALLAS"):
         return False
     if any(p is not None for p in bp.pcm):
@@ -462,7 +470,14 @@ def _pallas_ok(bp: BatchPlan) -> bool:
 
 
 def _dispatch_core(bp: BatchPlan):
-    """Launch the jitted core asynchronously; returns device plane arrays."""
+    """Launch the jitted core asynchronously; returns device plane arrays.
+
+    If the Pallas intra path fails to compile or launch (e.g. a VMEM
+    budget regression on a new libtpu), fall back to the pure-XLA scan
+    path automatically instead of aborting the decode.
+    """
+    global _pallas_broken
+
     tc_arrays = {
         k: (
             jnp.asarray(bp.tc_coeffs[k]),
@@ -478,19 +493,46 @@ def _dispatch_core(bp: BatchPlan):
     xs = [tuple(jnp.asarray(a) for a in t) for t in bp.xs]
     counts = tuple(jnp.asarray(c) for c in bp.counts)
     pcm = [None if p is None else jnp.asarray(p) for p in bp.pcm]
-    return _core_jit(
-        tc_arrays, scaling, xs, counts, pcm,
-        jnp.asarray(bp.qp_map), jnp.asarray(bp.nf_map),
-        jnp.asarray(bp.vert_edges), jnp.asarray(bp.horiz_edges),
-        jnp.asarray(bp.sao),
-        n=bp.n, H=bp.height, W=bp.width, ctb_log2=bp.ctb_log2,
-        deblock_disabled=bp.deblock_disabled,
-        sao_luma=bp.sao_luma, sao_chroma=bp.sao_chroma,
-        beta_off=bp.beta_off, tc_off=bp.tc_off,
-        cb_qp_off=bp.cb_qp_off, cr_qp_off=bp.cr_qp_off,
-        strong_smoothing=bp.strong_smoothing,
-        use_pallas=_pallas_ok(bp),
+
+    def run(use_pallas: bool):
+        return _core_jit(
+            tc_arrays, scaling, xs, counts, pcm,
+            jnp.asarray(bp.qp_map), jnp.asarray(bp.nf_map),
+            jnp.asarray(bp.vert_edges), jnp.asarray(bp.horiz_edges),
+            jnp.asarray(bp.sao),
+            n=bp.n, H=bp.height, W=bp.width, ctb_log2=bp.ctb_log2,
+            deblock_disabled=bp.deblock_disabled,
+            sao_luma=bp.sao_luma, sao_chroma=bp.sao_chroma,
+            beta_off=bp.beta_off, tc_off=bp.tc_off,
+            cb_qp_off=bp.cb_qp_off, cr_qp_off=bp.cr_qp_off,
+            strong_smoothing=bp.strong_smoothing,
+            use_pallas=use_pallas,
+        )
+
+    use_pallas = _pallas_ok(bp)
+    if not use_pallas:
+        return run(False)
+    # the tunneled AOT compile service occasionally 500s transiently, so
+    # retry the pallas compile once before writing the path off
+    last = None
+    for attempt in range(2):
+        try:
+            return run(True)
+        except Exception as e:  # jit compiles synchronously on first call
+            last = e
+    _pallas_broken = True
+    import sys
+
+    import os
+
+    limit = 20000 if os.environ.get("HEIF_TPU_DEBUG") else 300
+    print(
+        "heif_tpu: pallas intra path failed twice "
+        f"({type(last).__name__}: {str(last)[:limit]}); "
+        "falling back to the XLA scan path for this process",
+        file=sys.stderr,
     )
+    return run(False)
 
 
 def _chunk_shapes(syntaxes, chunk: int):
@@ -638,6 +680,22 @@ def decode_reconstruct_overlapped(
     ex = ThreadPoolExecutor(max_workers=1)
     try:
         futs = [ex.submit(entropy_fn, c) for c in chunks]
+        cold = key not in _sticky_shapes and len(chunks) > 1
+        if cold:
+            # first sight of this geometry: batch shapes drift chunk to
+            # chunk as TU counts grow, and every drift is a fresh multi-
+            # minute AOT compile on tunneled hosts. Wait for ALL entropy
+            # results and derive ONE shape for the whole image up front
+            # (forfeits entropy/device overlap for this image only; the
+            # sticky cache restores overlap from the next decode on).
+            all_syn = []
+            for fut in futs:
+                got = list(fut.result())
+                if len(got) < chunk:  # same padding the loop below applies
+                    got += [got[-1]] * (chunk - len(got))
+                all_syn.extend(got)
+            n_steps, caps = _chunk_shapes(all_syn, chunk)
+            _merge_sticky(key, n_steps, caps)
         for fi, fut in enumerate(futs):
             syn = list(fut.result())
             sl_chunk = list(chunks[fi])

@@ -10,19 +10,24 @@ kernel runs FOUR chains per program: Cb and Cr share TU geometry and
 intra mode (HEVC signals one intra_chroma_pred_mode per PU), so one
 worklist pass predicts both planes of both tiles.
 
-Per-step costs that the v1 kernel paid and v2 does not:
+Per-step costs that the v1 kernel paid and v3 does not:
 - prediction used one dense [32x32x256] f32 multiply-reduce per TU
-  (~256 vregs) regardless of TU size; v2 branches per size class, with
+  (~256 vregs) regardless of TU size; v2 branched per size class, with
   the 4x4 weights (77% of TUs in the sample) resident in VMEM and an
-  async HBM fetch only for the rare 8/16/32 classes.
+  async HBM fetch only for the rare 8/16/32 classes; v3 additionally
+  moves the matvec onto the MXU as s row dots (refb bf16 x W[r]^T),
+  which kills both the (s, s, 256) f32 stack temporaries (1 MB at s=32)
+  and the VPU cross-lane reduction.
 - every step DMA'd a 512 KB weight slab from HBM (~18 GB per 12-tile
-  chunk); v2 moves 8 KB / 128 KB / 512 KB only when the TU size needs it.
+  chunk); v2+ moves 8 KB / 128 KB / 512 KB only when the TU size needs it.
 
-Memory plan: worklist tensors (meta/src) and residual planes live in HBM
-(pl.ANY) and are slab-DMA'd into VMEM scratch once per program; outputs
-are written back by one DMA at the end. This keeps the pipeline from
-double-buffering multi-MB blocks and fits 2 luma chains (planes,
-transposes, residuals, worklists, weight slabs) in ~13 MB of VMEM.
+Memory plan (v3): residual planes live in HBM (pl.ANY) and are DMA'd
+into VMEM scratch once per program; the worklist tensors (meta/src)
+stream through fixed WIN_S-step VMEM windows, so VMEM use is INDEPENDENT
+of the worklist length (which varies per image chunk — slab-residency
+blew the 16 MB scoped budget at long worklists). Outputs are written
+back by one DMA at the end. Two luma chains (planes, transposes,
+windows, shared weight buffers) total ~8 MB of VMEM.
 
 Mosaic alignment strategy: every VMEM access uses starts aligned to
 (8, 128); arbitrary TU positions are reached by loading an aligned
@@ -67,6 +72,23 @@ def _round_up(x, m):
 
 
 N_REF_PAD = 256  # lane-aligned padded ref-vector length
+
+
+def _meta_windows(meta):
+    """[n, s, 8] -> [n, s/WIN_S, WIN_S, 128] window-blocked, lane-padded.
+
+    The DMA engine requires the minormost (lane) dim to be a multiple of
+    128; meta is built on device (ops.batch._meta_from_xs), so the pad
+    costs HBM bytes only, never host-link transfer."""
+    n, s, _ = meta.shape
+    meta = jnp.pad(meta, ((0, 0), (0, 0), (0, 128 - 8)))
+    return meta.reshape(n, s // WIN_S, WIN_S, 128)
+
+
+def _src_windows(src):
+    """[n, s, 256] -> [n, s/WIN_S, WIN_S, 256]."""
+    n, s, _ = src.shape
+    return src.reshape(n, s // WIN_S, WIN_S, N_REF_PAD)
 
 
 def _weights_bf16() -> np.ndarray:
@@ -199,7 +221,29 @@ def _substitute(local, src_row, oh):
     return jnp.where(src_row >= N_REF, 128, refs)
 
 
-def _pred_by_size(size, widx, refvec, w_hbm, w4_ref, wbuf8, wbuf16, wbuf32,
+def _mxu_rows(refb, row_fn, s: int):
+    """Prediction block via s MXU row dots: row r = refb · W[r]^T.
+
+    refb: (1, N_REF_PAD) bf16 reference vector; row_fn(r) -> (s, N_REF_PAD)
+    bf16 weight slice for output row r. Returns (s, s) f32, integer-exact
+    (|w| <= 64 and refs <= 255 are exact in bf16; each product is formed
+    in full precision and accumulated in f32; |sum| < 2^24). Replaces the
+    old broadcast-multiply + 256-lane reduction, which both materialized
+    an (s, s, 256) f32 temporary on the kernel stack (1 MB at s=32 — a
+    major part of the round-2 scoped-VMEM blowup) and serialized on the
+    VPU's cross-lane adds.
+    """
+    rows = [
+        jax.lax.dot_general(
+            refb, row_fn(r), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for r in range(s)
+    ]
+    return jnp.concatenate(rows, axis=0)  # (s, s)
+
+
+def _pred_by_size(size, widx, refb, w_hbm, w4_ref, wbuf8, wbuf16, wbuf32,
                   pred_buf, bias_ref, shift_ref, sem, max_size: int):
     """Per-size-class prediction matvec into pred_buf (32x32 scratch).
 
@@ -207,14 +251,13 @@ def _pred_by_size(size, widx, refvec, w_hbm, w4_ref, wbuf8, wbuf16, wbuf32,
     HBM only when that class occurs. pred_buf content outside
     [0:size, 0:size] is stale/garbage — callers mask by size.
     """
-    refv = _f32(refvec).reshape(1, 1, N_REF_PAD)
     bias = bias_ref[widx]
     shift = shift_ref[widx]
     mode = widx // 4
 
     @pl.when(size == 4)
     def _():
-        acc = jnp.sum(refv * w4_ref[mode].astype(jnp.float32), axis=-1)
+        acc = _mxu_rows(refb, lambda r: w4_ref[mode, r], 4)
         pred_buf[0:4, :] = jnp.pad(
             (acc.astype(jnp.int32) + bias) >> shift, ((0, 0), (0, MAX_S - 4))
         )
@@ -226,7 +269,7 @@ def _pred_by_size(size, widx, refvec, w_hbm, w4_ref, wbuf8, wbuf16, wbuf32,
         )
         cp.start()
         cp.wait()
-        acc = jnp.sum(refv * wbuf8[...].astype(jnp.float32), axis=-1)
+        acc = _mxu_rows(refb, lambda r: wbuf8[r], 8)
         pred_buf[0:8, :] = jnp.pad(
             (acc.astype(jnp.int32) + bias) >> shift, ((0, 0), (0, MAX_S - 8))
         )
@@ -238,7 +281,7 @@ def _pred_by_size(size, widx, refvec, w_hbm, w4_ref, wbuf8, wbuf16, wbuf32,
         )
         cp.start()
         cp.wait()
-        acc = jnp.sum(refv * wbuf16[...].astype(jnp.float32), axis=-1)
+        acc = _mxu_rows(refb, lambda r: wbuf16[r], 16)
         pred_buf[0:16, :] = jnp.pad(
             (acc.astype(jnp.int32) + bias) >> shift, ((0, 0), (0, MAX_S - 16))
         )
@@ -249,7 +292,7 @@ def _pred_by_size(size, widx, refvec, w_hbm, w4_ref, wbuf8, wbuf16, wbuf32,
             cp = pltpu.make_async_copy(w_hbm.at[widx], wbuf32, sem)
             cp.start()
             cp.wait()
-            acc = jnp.sum(refv * wbuf32[...].astype(jnp.float32), axis=-1)
+            acc = _mxu_rows(refb, lambda r: wbuf32[r], 32)
             pred_buf[...] = (acc.astype(jnp.int32) + bias) >> shift
 
 
@@ -338,20 +381,25 @@ def _luma_fixups(pred, left, top, size, log2, mode, iota65, rr32, cc32):
 # luma pair) that previously pushed the kernel over the 16 MB VMEM budget.
 
 
-def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
+WIN_S = 512  # worklist window length (steps DMA'd into VMEM at a time)
+
+
+def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_hbm, src_hbm,
                  res_hbm, resT_hbm, w_hbm, w4_ref, out_ref,
-                 plane_a, planeT_a, plane_b, planeT_b, vsrc_a, vsrc_b,
-                 wbuf8_a, wbuf16_a, wbuf32_a, wbuf8_b, wbuf16_b,
-                 wbuf32_b, pred_a, pred_b, sem_in, sem_a, sem_b, sem_out,
+                 plane_a, planeT_a, plane_b, planeT_b,
+                 vsrc_a, vsrc_b, vmeta_a, vmeta_b,
+                 wbuf8, wbuf16, wbuf32, pred_a, pred_b,
+                 sem_in, sem_w, sem_win, sem_out,
                  *, n_steps: int, strong_smoothing: bool):
     pid = pl.program_id(0)
     ta = 2 * pid
     tb = 2 * pid + 1
 
-    # slab-DMA worklists + residual-preloaded planes into VMEM
+    # residual-preloaded planes into VMEM; worklists stream in WIN_S-step
+    # windows inside the walk, so VMEM use is independent of the worklist
+    # length (which varies per image chunk and blew the scoped budget
+    # when slab-resident).
     cps = [
-        pltpu.make_async_copy(src_hbm.at[ta], vsrc_a, sem_in),
-        pltpu.make_async_copy(src_hbm.at[tb], vsrc_b, sem_in),
         pltpu.make_async_copy(res_hbm.at[ta], plane_a, sem_in),
         pltpu.make_async_copy(resT_hbm.at[ta], planeT_a, sem_in),
         pltpu.make_async_copy(res_hbm.at[tb], plane_b, sem_in),
@@ -368,20 +416,36 @@ def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
     pad0 = jnp.zeros((1, N_REF_PAD - N_REF), jnp.int32)
     bi_nref = jax.lax.broadcasted_iota(jnp.int32, (N_REF, N_REF), 0)
 
-    def chain(slot, i, plane, planeT, vsrc, wb8, wb16, wb32, predb, sem):
-        tx = meta_ref[slot, i, M_TX]
-        ty = meta_ref[slot, i, M_TY]
-        size = meta_ref[slot, i, M_SIZE]
-        log2 = meta_ref[slot, i, M_LOG2]
-        mode = meta_ref[slot, i, M_MODE]
-        filt = meta_ref[slot, i, M_FILT]
-        widx = meta_ref[slot, i, M_WIDX]
-        active = meta_ref[slot, i, M_ACTIVE]
+    def load_window(widx):
+        # both worklists are window-blocked 4D on the host side, so one
+        # integer index selects a window — no dynamic-offset alignment
+        # proof needed for the DMA engine
+        wcps = [
+            pltpu.make_async_copy(src_hbm.at[ta, widx], vsrc_a, sem_win),
+            pltpu.make_async_copy(src_hbm.at[tb, widx], vsrc_b, sem_win),
+            pltpu.make_async_copy(meta_hbm.at[ta, widx], vmeta_a, sem_win),
+            pltpu.make_async_copy(meta_hbm.at[tb, widx], vmeta_b, sem_win),
+        ]
+        for cp in wcps:
+            cp.start()
+        for cp in wcps:
+            cp.wait()
+
+    def chain(slot, j, plane, planeT, vsrc, vmeta, wb8, wb16, wb32, predb,
+              sem):
+        tx = vmeta[j, M_TX]
+        ty = vmeta[j, M_TY]
+        size = vmeta[j, M_SIZE]
+        log2 = vmeta[j, M_LOG2]
+        mode = vmeta[j, M_MODE]
+        filt = vmeta[j, M_FILT]
+        widx = vmeta[j, M_WIDX]
+        active = vmeta[j, M_ACTIVE]
 
         top = _strip_from(plane, ty, tx)
         left = _strip_from(planeT, tx, ty)
         local = jnp.concatenate([left, top], axis=1)  # (1, 130)
-        src_row = _row_from(vsrc, i, N_REF)
+        src_row = _row_from(vsrc, j, N_REF)
         oh = (bi_nref == jnp.broadcast_to(src_row, (N_REF, N_REF))).astype(
             jnp.float32
         )
@@ -390,8 +454,10 @@ def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
         left, top = _filter_refs_kernel(
             left, top, size, filt, strong_smoothing, iota65
         )
-        refvec = jnp.concatenate([left, top, pad0], axis=1)
-        _pred_by_size(size, widx, refvec, w_hbm, w4_ref, wb8, wb16, wb32,
+        refb = jnp.concatenate([left, top, pad0], axis=1).astype(
+            jnp.bfloat16
+        )
+        _pred_by_size(size, widx, refb, w_hbm, w4_ref, wb8, wb16, wb32,
                       predb, bias_ref, shift_ref, sem, max_size=32)
         pred = _luma_fixups(
             predb[...], left, top, size, log2, mode, iota65, rr32, cc32
@@ -404,10 +470,22 @@ def _kernel_luma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
         _rmw_store(planeT, tx + 1, ty + 1, new.T, eff)
 
     def body(i, _):
-        chain(0, i, plane_a, planeT_a, vsrc_a, wbuf8_a, wbuf16_a,
-              wbuf32_a, pred_a, sem_a)
-        chain(1, i, plane_b, planeT_b, vsrc_b, wbuf8_b, wbuf16_b,
-              wbuf32_b, pred_b, sem_b)
+        @pl.when(i % WIN_S == 0)
+        def _():
+            load_window(i // WIN_S)
+
+        j = i % WIN_S
+        # the weight-fetch buffers are SHARED between the chains: they are
+        # touched only in the rare 8/16/32 size classes (77% of TUs are
+        # 4x4, served from the VMEM-resident w4 table), each chain waits
+        # for its own DMA before reading, and the body runs the chains
+        # sequentially — so sharing costs a serialization only when both
+        # chains hit a large TU on the same step, and saves 672 KB of VMEM
+        # (the round-2 kernel was 108 KB over the 16 MB scoped limit).
+        chain(0, j, plane_a, planeT_a, vsrc_a, vmeta_a, wbuf8, wbuf16,
+              wbuf32, pred_a, sem_w)
+        chain(1, j, plane_b, planeT_b, vsrc_b, vmeta_b, wbuf8, wbuf16,
+              wbuf32, pred_b, sem_w)
         return 0
 
     trip = jnp.minimum(
@@ -458,11 +536,17 @@ def intra_scan_pallas(
     if counts is None:
         counts = jnp.full((n,), s_steps, jnp.int32)
     counts = counts.astype(jnp.int32).reshape(n, 1)
-    # lane-pad the src table: HBM->VMEM slab DMA needs 128-aligned lanes
+    # lane-pad the src table: HBM->VMEM window DMA needs 128-aligned lanes
     src = jnp.pad(
         src.reshape(n, s_steps, N_REF),
         ((0, 0), (0, 0), (0, N_REF_PAD - N_REF)),
     )
+    # step-pad worklists to whole windows (kernel streams WIN_S at a time)
+    s_pad = _round_up(s_steps, WIN_S)
+    if s_pad != s_steps:
+        meta = jnp.pad(meta, ((0, 0), (0, s_pad - s_steps), (0, 0)))
+        src = jnp.pad(src, ((0, 0), (0, s_pad - s_steps), (0, 0)))
+    s_steps = s_pad
     hp = _round_up(1 + h + SPAD, 8)
     wp = _round_up(1 + w + SPAD, 128)
     hpT = hp if hp % 128 == 0 else _round_up(hp, 128)
@@ -487,10 +571,8 @@ def intra_scan_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts [n,1]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bias
             pl.BlockSpec(memory_space=pltpu.SMEM),  # shift
-            pl.BlockSpec(
-                (2, s_steps, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),  # meta pair
-            pl.BlockSpec(memory_space=pltpu.ANY),  # src (slab DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # meta (window DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # src (window DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),  # res_shift (-> plane)
             pl.BlockSpec(memory_space=pltpu.ANY),  # resT (-> planeT)
             pl.BlockSpec(memory_space=pltpu.ANY),  # weights HBM
@@ -504,23 +586,23 @@ def intra_scan_pallas(
             pltpu.VMEM((wp, hpT), jnp.int32),  # planeT_a
             pltpu.VMEM((hp, wp), jnp.int32),   # plane_b
             pltpu.VMEM((wp, hpT), jnp.int32),  # planeT_b
-            pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_a
-            pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_b
-            pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8_a
-            pltpu.VMEM((16, 16, N_REF_PAD), jnp.bfloat16),  # wbuf16_a
-            pltpu.VMEM((MAX_S, MAX_S, N_REF_PAD), jnp.bfloat16),  # wbuf32_a
-            pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8_b
-            pltpu.VMEM((16, 16, N_REF_PAD), jnp.bfloat16),  # wbuf16_b
-            pltpu.VMEM((MAX_S, MAX_S, N_REF_PAD), jnp.bfloat16),  # wbuf32_b
+            pltpu.VMEM((WIN_S, N_REF_PAD), jnp.uint8),  # vsrc_a
+            pltpu.VMEM((WIN_S, N_REF_PAD), jnp.uint8),  # vsrc_b
+            pltpu.VMEM((WIN_S, 128), jnp.int32),  # vmeta_a
+            pltpu.VMEM((WIN_S, 128), jnp.int32),  # vmeta_b
+            pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8 (shared)
+            pltpu.VMEM((16, 16, N_REF_PAD), jnp.bfloat16),  # wbuf16 (shared)
+            pltpu.VMEM((MAX_S, MAX_S, N_REF_PAD), jnp.bfloat16),  # wbuf32
             pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_a
             pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_b
             pltpu.SemaphoreType.DMA,  # sem_in
-            pltpu.SemaphoreType.DMA,  # sem_a
-            pltpu.SemaphoreType.DMA,  # sem_b
+            pltpu.SemaphoreType.DMA,  # sem_w (shared weight fetches)
+            pltpu.SemaphoreType.DMA,  # sem_win (worklist windows)
             pltpu.SemaphoreType.DMA,  # sem_out
         ],
         interpret=interpret,
-    )(counts, bias, shift, meta, src, res_shift, resT, wtab, w4)
+    )(counts, bias, shift, _meta_windows(meta), _src_windows(src),
+      res_shift, resT, wtab, w4)
     return out[:n, 1 : 1 + h, 1 : 1 + w]
 
 
@@ -529,21 +611,19 @@ def intra_scan_pallas(
 # --------------------------------------------------------------------------
 
 
-def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
+def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_hbm, src_hbm,
                    rcb_hbm, rcbT_hbm, rcr_hbm, rcrT_hbm, w_hbm, w4_ref,
                    outcb_ref, outcr_ref,
                    plane_ba, planeT_ba, plane_ra, planeT_ra,
                    plane_bb, planeT_bb, plane_rb, planeT_rb,
-                   vsrc_a, vsrc_b, wbuf8_a, wbuf16_a, wbuf8_b,
-                   wbuf16_b, pred_ba, pred_ra, pred_bb, pred_rb,
-                   sem_in, sem_a, sem_b, sem_out, *, n_steps: int):
+                   vsrc_a, vsrc_b, vmeta_a, vmeta_b, wbuf8, wbuf16,
+                   pred_ba, pred_ra, pred_bb, pred_rb,
+                   sem_in, sem_w, sem_win, sem_out, *, n_steps: int):
     pid = pl.program_id(0)
     ta = 2 * pid
     tb = 2 * pid + 1
 
     cps = [
-        pltpu.make_async_copy(src_hbm.at[ta], vsrc_a, sem_in),
-        pltpu.make_async_copy(src_hbm.at[tb], vsrc_b, sem_in),
         pltpu.make_async_copy(rcb_hbm.at[ta], plane_ba, sem_in),
         pltpu.make_async_copy(rcbT_hbm.at[ta], planeT_ba, sem_in),
         pltpu.make_async_copy(rcr_hbm.at[ta], plane_ra, sem_in),
@@ -561,20 +641,35 @@ def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
     pad0 = jnp.zeros((1, N_REF_PAD - N_REF), jnp.int32)
     bi_nref = jax.lax.broadcasted_iota(jnp.int32, (N_REF, N_REF), 0)
 
-    def tile_pair(slot, i, plane_b_, planeT_b_, plane_r_, planeT_r_,
-                  vsrc, wb8, wb16, predb, predr, sem):
+    def load_window(widx):
+        # both worklists are window-blocked 4D on the host side, so one
+        # integer index selects a window — no dynamic-offset alignment
+        # proof needed for the DMA engine
+        wcps = [
+            pltpu.make_async_copy(src_hbm.at[ta, widx], vsrc_a, sem_win),
+            pltpu.make_async_copy(src_hbm.at[tb, widx], vsrc_b, sem_win),
+            pltpu.make_async_copy(meta_hbm.at[ta, widx], vmeta_a, sem_win),
+            pltpu.make_async_copy(meta_hbm.at[tb, widx], vmeta_b, sem_win),
+        ]
+        for cp in wcps:
+            cp.start()
+        for cp in wcps:
+            cp.wait()
+
+    def tile_pair(slot, j, plane_b_, planeT_b_, plane_r_, planeT_r_,
+                  vsrc, vmeta, wb8, wb16, predb, predr, sem):
         """One step for one tile's Cb+Cr chains (shared worklist/mode)."""
-        tx = meta_ref[slot, i, M_TX]
-        ty = meta_ref[slot, i, M_TY]
-        size = meta_ref[slot, i, M_SIZE]
-        widx = meta_ref[slot, i, M_WIDX]
-        active = meta_ref[slot, i, M_ACTIVE]
+        tx = vmeta[j, M_TX]
+        ty = vmeta[j, M_TY]
+        size = vmeta[j, M_SIZE]
+        widx = vmeta[j, M_WIDX]
+        active = vmeta[j, M_ACTIVE]
 
         top_b = _strip_from(plane_b_, ty, tx)
         left_b = _strip_from(planeT_b_, tx, ty)
         top_r = _strip_from(plane_r_, ty, tx)
         left_r = _strip_from(planeT_r_, tx, ty)
-        src_row = _row_from(vsrc, i, N_REF)
+        src_row = _row_from(vsrc, j, N_REF)
         oh = (bi_nref == jnp.broadcast_to(src_row, (N_REF, N_REF))).astype(
             jnp.float32
         )
@@ -584,20 +679,22 @@ def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
         refs_r = _substitute(
             jnp.concatenate([left_r, top_r], axis=1), src_row, oh
         )
-        refvec_b = jnp.concatenate([refs_b, pad0], axis=1)
-        refvec_r = jnp.concatenate([refs_r, pad0], axis=1)
+        refb_b = jnp.concatenate([refs_b, pad0], axis=1).astype(
+            jnp.bfloat16
+        )
+        refb_r = jnp.concatenate([refs_r, pad0], axis=1).astype(
+            jnp.bfloat16
+        )
         # one weight fetch serves both chroma chains (same mode/size)
-        _pred_by_size(size, widx, refvec_b, w_hbm, w4_ref, wb8, wb16, None,
+        _pred_by_size(size, widx, refb_b, w_hbm, w4_ref, wb8, wb16, None,
                       predb, bias_ref, shift_ref, sem, max_size=16)
-        refv_r = _f32(refvec_r).reshape(1, 1, N_REF_PAD)
         bias = bias_ref[widx]
         shift = shift_ref[widx]
+        mode = widx // 4
 
         @pl.when(size == 4)
         def _():
-            acc = jnp.sum(
-                refv_r * w4_ref[widx // 4].astype(jnp.float32), axis=-1
-            )
+            acc = _mxu_rows(refb_r, lambda r: w4_ref[mode, r], 4)
             predr[0:4, :] = jnp.pad(
                 (acc.astype(jnp.int32) + bias) >> shift,
                 ((0, 0), (0, MAX_S - 4)),
@@ -605,7 +702,7 @@ def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
 
         @pl.when(size == 8)
         def _():
-            acc = jnp.sum(refv_r * wb8[...].astype(jnp.float32), axis=-1)
+            acc = _mxu_rows(refb_r, lambda r: wb8[r], 8)
             predr[0:8, :] = jnp.pad(
                 (acc.astype(jnp.int32) + bias) >> shift,
                 ((0, 0), (0, MAX_S - 8)),
@@ -613,7 +710,7 @@ def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
 
         @pl.when(size == 16)
         def _():
-            acc = jnp.sum(refv_r * wb16[...].astype(jnp.float32), axis=-1)
+            acc = _mxu_rows(refb_r, lambda r: wb16[r], 16)
             predr[0:16, :] = jnp.pad(
                 (acc.astype(jnp.int32) + bias) >> shift,
                 ((0, 0), (0, MAX_S - 16)),
@@ -630,10 +727,15 @@ def _kernel_chroma(counts_ref, bias_ref, shift_ref, meta_ref, src_hbm,
         _rmw_store(planeT_r_, tx + 1, ty + 1, new_r.T, eff)
 
     def body(i, _):
-        tile_pair(0, i, plane_ba, planeT_ba, plane_ra, planeT_ra,
-                  vsrc_a, wbuf8_a, wbuf16_a, pred_ba, pred_ra, sem_a)
-        tile_pair(1, i, plane_bb, planeT_bb, plane_rb, planeT_rb,
-                  vsrc_b, wbuf8_b, wbuf16_b, pred_bb, pred_rb, sem_b)
+        @pl.when(i % WIN_S == 0)
+        def _():
+            load_window(i // WIN_S)
+
+        j = i % WIN_S
+        tile_pair(0, j, plane_ba, planeT_ba, plane_ra, planeT_ra,
+                  vsrc_a, vmeta_a, wbuf8, wbuf16, pred_ba, pred_ra, sem_w)
+        tile_pair(1, j, plane_bb, planeT_bb, plane_rb, planeT_rb,
+                  vsrc_b, vmeta_b, wbuf8, wbuf16, pred_bb, pred_rb, sem_w)
         return 0
 
     trip = jnp.minimum(
@@ -662,11 +764,16 @@ def intra_scan_pallas_chroma2(
     if counts is None:
         counts = jnp.full((n,), s_steps, jnp.int32)
     counts = counts.astype(jnp.int32).reshape(n, 1)
-    # lane-pad the src table: HBM->VMEM slab DMA needs 128-aligned lanes
+    # lane-pad the src table: HBM->VMEM window DMA needs 128-aligned lanes
     src = jnp.pad(
         src.reshape(n, s_steps, N_REF),
         ((0, 0), (0, 0), (0, N_REF_PAD - N_REF)),
     )
+    s_pad = _round_up(s_steps, WIN_S)
+    if s_pad != s_steps:
+        meta = jnp.pad(meta, ((0, 0), (0, s_pad - s_steps), (0, 0)))
+        src = jnp.pad(src, ((0, 0), (0, s_pad - s_steps), (0, 0)))
+    s_steps = s_pad
     hp = _round_up(1 + h + SPAD, 8)
     wp = _round_up(1 + w + SPAD, 128)
     hpT = hp if hp % 128 == 0 else _round_up(hp, 128)
@@ -695,10 +802,8 @@ def intra_scan_pallas_chroma2(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bias
             pl.BlockSpec(memory_space=pltpu.SMEM),  # shift
-            pl.BlockSpec(
-                (2, s_steps, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),  # meta pair
-            pl.BlockSpec(memory_space=pltpu.ANY),  # src
+            pl.BlockSpec(memory_space=pltpu.ANY),  # meta (window DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # src (window DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),  # res_cb
             pl.BlockSpec(memory_space=pltpu.ANY),  # res_cbT
             pl.BlockSpec(memory_space=pltpu.ANY),  # res_cr
@@ -716,23 +821,24 @@ def intra_scan_pallas_chroma2(
         ),
         input_output_aliases={5: 0, 7: 1},
         scratch_shapes=plane_vmem + [
-            pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_a
-            pltpu.VMEM((s_steps, N_REF_PAD), jnp.uint8),  # vsrc_b
-            pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8_a
-            pltpu.VMEM((16, 16, N_REF_PAD), jnp.bfloat16),  # wbuf16_a
-            pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8_b
-            pltpu.VMEM((16, 16, N_REF_PAD), jnp.bfloat16),  # wbuf16_b
+            pltpu.VMEM((WIN_S, N_REF_PAD), jnp.uint8),  # vsrc_a
+            pltpu.VMEM((WIN_S, N_REF_PAD), jnp.uint8),  # vsrc_b
+            pltpu.VMEM((WIN_S, 128), jnp.int32),  # vmeta_a
+            pltpu.VMEM((WIN_S, 128), jnp.int32),  # vmeta_b
+            pltpu.VMEM((8, 8, N_REF_PAD), jnp.bfloat16),    # wbuf8 (shared)
+            pltpu.VMEM((16, 16, N_REF_PAD), jnp.bfloat16),  # wbuf16 (shared)
             pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_ba
             pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_ra
             pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_bb
             pltpu.VMEM((MAX_S, MAX_S), jnp.int32),  # pred_rb
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,  # sem_in
+            pltpu.SemaphoreType.DMA,  # sem_w
+            pltpu.SemaphoreType.DMA,  # sem_win
+            pltpu.SemaphoreType.DMA,  # sem_out
         ],
         interpret=interpret,
-    )(counts, bias, shift, meta, src, rcb, rcbT, rcr, rcrT, wtab, w4)
+    )(counts, bias, shift, _meta_windows(meta), _src_windows(src),
+      rcb, rcbT, rcr, rcrT, wtab, w4)
     return out[0][:n, 1 : 1 + h, 1 : 1 + w], out[1][:n, 1 : 1 + h, 1 : 1 + w]
 
 

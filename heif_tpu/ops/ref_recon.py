@@ -43,31 +43,34 @@ def _clip16(x: np.ndarray) -> np.ndarray:
 
 
 def dequant_block(
-    block: np.ndarray, qp: int, size: int, matrix_id: int, scaling_lists
+    block: np.ndarray, qp: int, size: int, matrix_id: int, scaling_lists,
+    bd: int = 8,
 ) -> np.ndarray:
     """§8.6.3 scaling process. block: int32 [size,size] quantized levels."""
     log2 = size.bit_length() - 1
-    bd_shift = 8 + log2 - 5  # BitDepth 8
+    bd_shift = bd + log2 - 5
     m = scaling_factor_matrix(size, matrix_id, scaling_lists)
     scale = int(LEVEL_SCALE[qp % 6]) << (qp // 6)
     d = (block.astype(np.int64) * m * scale + (1 << (bd_shift - 1))) >> bd_shift
     return _clip16(d).astype(np.int32)
 
 
-def inverse_transform(d: np.ndarray, use_dst: bool) -> np.ndarray:
-    """§8.6.4.2 two-stage inverse transform, integer exact (BitDepth 8)."""
+def inverse_transform(d: np.ndarray, use_dst: bool, bd: int = 8) -> np.ndarray:
+    """§8.6.4.2 two-stage inverse transform, integer exact."""
     n = d.shape[0]
     t = DST4 if use_dst else dct_matrix(n)
     # stage 1 (columns): G = T^T @ D, shift 7, clip 16-bit
     g1 = _clip16((t.T.astype(np.int64) @ d.astype(np.int64) + 64) >> 7)
-    # stage 2 (rows): R = G @ T, shift 20-BitDepth = 12
-    r = _clip16((g1 @ t.astype(np.int64) + 2048) >> 12)
+    # stage 2 (rows): R = G @ T, shift 20-BitDepth
+    sh2 = 20 - bd
+    r = _clip16((g1 @ t.astype(np.int64) + (1 << (sh2 - 1))) >> sh2)
     return r.astype(np.int32)
 
 
-def transform_skip_residual(d: np.ndarray) -> np.ndarray:
-    """§8.6.4.2 transform-skip path (4x4, BitDepth 8): tsShift=7, bdShift=12."""
-    r = ((d.astype(np.int64) << 7) + 2048) >> 12
+def transform_skip_residual(d: np.ndarray, bd: int = 8) -> np.ndarray:
+    """§8.6.4.2 transform-skip path (4x4): tsShift=7, bdShift=20-BitDepth."""
+    sh2 = 20 - bd
+    r = ((d.astype(np.int64) << 7) + (1 << (sh2 - 1))) >> sh2
     return _clip16(r).astype(np.int32)
 
 
@@ -91,12 +94,13 @@ def residual_planes(
         if row[T.TU_BYPASS]:
             planes[c][y : y + size, x : x + size] = blk
             continue
-        deq = dequant_block(blk, int(row[T.TU_QP]), size, c, lists)
+        bd = sps.bit_depth_y if c == 0 else sps.bit_depth_c
+        deq = dequant_block(blk, int(row[T.TU_QP]), size, c, lists, bd)
         if row[T.TU_SKIP]:
-            res = transform_skip_residual(deq)
+            res = transform_skip_residual(deq, bd)
         else:
             use_dst = c == 0 and size == 4  # intra luma 4x4 -> DST
-            res = inverse_transform(deq, use_dst)
+            res = inverse_transform(deq, use_dst, bd)
         planes[c][y : y + size, x : x + size] = res
     return planes
 
@@ -135,6 +139,7 @@ class IntraPredictor:
         self.sps = sps
         self.z4 = z_order_plane(st.width, st.height, sps.ctb_log2_size_y)
         self.sub = [1, 2, 2]  # luma/chroma subsampling (4:2:0)
+        self.bd = [sps.bit_depth_y, sps.bit_depth_c, sps.bit_depth_c]
 
     def _available(self, comp: int, xn: int, yn: int, z_cur: int) -> bool:
         """Sample availability (§6.4.1): in picture and earlier in z order.
@@ -168,7 +173,7 @@ class IntraPredictor:
             if avail[i]:
                 vals[i] = plane[cy, cx]
         if not avail.any():
-            vals[:] = 128  # 1 << (bitDepth-1)
+            vals[:] = 1 << (self.bd[comp] - 1)
         else:
             # substitution: first entry takes the first available onwards
             if not avail[0]:
@@ -188,7 +193,7 @@ class IntraPredictor:
 
     @staticmethod
     def _filter_refs(left: np.ndarray, top: np.ndarray, size: int,
-                     mode: int, strong_smoothing: bool) -> tuple:
+                     mode: int, strong_smoothing: bool, bd: int = 8) -> tuple:
         """Reference smoothing (§8.4.4.2.3), luma only."""
         if mode == 1 or size == 4:
             return left, top
@@ -198,7 +203,7 @@ class IntraPredictor:
         corner = left[0]
         bi = False
         if strong_smoothing and size == 32:
-            thr = 8  # 1 << (bitDepth - 5)
+            thr = 1 << (bd - 5)
             bi = (
                 abs(int(corner) + int(top[2 * size]) - 2 * int(top[size])) < thr
                 and abs(int(corner) + int(left[2 * size]) - 2 * int(left[size]))
@@ -237,12 +242,13 @@ class IntraPredictor:
             left, top = self._filter_refs(
                 left, top, size, mode,
                 self.sps.strong_intra_smoothing_enabled_flag,
+                self.bd[0],
             )
         if mode == 0:
             return self._planar(left, top, size)
         if mode == 1:
             return self._dc(left, top, size, comp)
-        return self._angular(left, top, size, mode, comp)
+        return self._angular(left, top, size, mode, comp, self.bd[comp])
 
     @staticmethod
     def _planar(left, top, size):
@@ -276,7 +282,7 @@ class IntraPredictor:
         return pred
 
     @staticmethod
-    def _angular(left, top, size, mode, comp):
+    def _angular(left, top, size, mode, comp, bd=8):
         s = size
         angle = intra_angle(mode)
         vertical = mode >= 18
@@ -310,12 +316,13 @@ class IntraPredictor:
                 pred[:, d] = line
         # pure vertical/horizontal edge compensation (luma, size<32)
         if comp == 0 and s < 32:
+            mx = (1 << bd) - 1
             if mode == 26:  # vertical
                 delta = (left[1 : s + 1].astype(np.int32) - int(top[0])) >> 1
-                pred[:, 0] = np.clip(int(top[1]) + delta, 0, 255)
+                pred[:, 0] = np.clip(int(top[1]) + delta, 0, mx)
             elif mode == 10:  # horizontal
                 delta = (top[1 : s + 1].astype(np.int32) - int(left[0])) >> 1
-                pred[0, :] = np.clip(int(left[1]) + delta, 0, 255)
+                pred[0, :] = np.clip(int(left[1]) + delta, 0, mx)
         return pred
 
 
@@ -346,7 +353,8 @@ def intra_reconstruct(
             planes[c], c, int(row[T.TU_PRED_MODE]), x, y, size, luma_origin
         )
         r = residuals[c][y : y + size, x : x + size]
-        planes[c][y : y + size, x : x + size] = np.clip(p + r, 0, 255)
+        mx = (1 << pred.bd[c]) - 1
+        planes[c][y : y + size, x : x + size] = np.clip(p + r, 0, mx)
     return planes
 
 
@@ -382,19 +390,21 @@ def deblock(
 
     for vertical in (True, False):
         edges = st.vert_edges if vertical else st.horiz_edges
-        _deblock_luma_dir(y, st, edges, vertical, beta_off, tc_off, nf)
+        _deblock_luma_dir(y, st, edges, vertical, beta_off, tc_off, nf,
+                          sps.bit_depth_y)
     for vertical in (True, False):
         edges = st.vert_edges if vertical else st.horiz_edges
         _deblock_chroma_dir(
-            cb, 1, st, pps, edges, vertical, tc_off, nf
+            cb, 1, st, pps, edges, vertical, tc_off, nf, sps.bit_depth_c
         )
         _deblock_chroma_dir(
-            cr, 2, st, pps, edges, vertical, tc_off, nf
+            cr, 2, st, pps, edges, vertical, tc_off, nf, sps.bit_depth_c
         )
     return [y, cb, cr]
 
 
-def _deblock_luma_dir(plane, st, edges, vertical, beta_off, tc_off, nf):
+def _deblock_luma_dir(plane, st, edges, vertical, beta_off, tc_off, nf,
+                      bd=8):
     """Filter all luma edges in one direction. Operates in-place; HEVC
     applies all vertical edges first (using unfiltered horizontal
     neighbors), then horizontal edges on the vertical result."""
@@ -420,10 +430,12 @@ def _deblock_luma_dir(plane, st, edges, vertical, beta_off, tc_off, nf):
             q_blk = (y0 >> 2, e4)
             p_blk = (y0 >> 2, e4 - 1)
             qp_avg = (int(qp_v[p_blk]) + int(qp_v[q_blk]) + 1) >> 1
-            beta = int(BETA_TABLE[np.clip(qp_avg + beta_off, 0, 51)])
-            tc = int(TC_TABLE[np.clip(qp_avg + 2 + tc_off, 0, 53)])
+            # β = β' << (BitDepthY-8), tC = tC' << (BitDepthY-8) (§8.7.2.5.3)
+            beta = int(BETA_TABLE[np.clip(qp_avg + beta_off, 0, 51)]) << (bd - 8)
+            tc = int(TC_TABLE[np.clip(qp_avg + 2 + tc_off, 0, 53)]) << (bd - 8)
             if beta == 0 and tc == 0:
                 continue
+            mx = (1 << bd) - 1
             rows = view[y0 : y0 + 4, e - 4 : e + 4].astype(np.int32)
             p3, p2, p1, p0, q0, q1, q2, q3 = rows.T
             dp0 = abs(int(p2[0]) - 2 * int(p1[0]) + int(p0[0]))
@@ -479,20 +491,21 @@ def _deblock_luma_dir(plane, st, edges, vertical, beta_off, tc_off, nf):
                 mask = np.abs(delta) < tc * 10
                 dl = np.clip(delta, -tc, tc)
                 if filter_p:
-                    out[:, 3] = np.where(mask, np.clip(p0 + dl, 0, 255), p0)
+                    out[:, 3] = np.where(mask, np.clip(p0 + dl, 0, mx), p0)
                 if filter_q:
-                    out[:, 4] = np.where(mask, np.clip(q0 - dl, 0, 255), q0)
+                    out[:, 4] = np.where(mask, np.clip(q0 - dl, 0, mx), q0)
                 tch = tc >> 1
                 if dep and filter_p:
                     dp = np.clip((((p2 + p0 + 1) >> 1) - p1 + dl) >> 1, -tch, tch)
-                    out[:, 2] = np.where(mask, np.clip(p1 + dp, 0, 255), p1)
+                    out[:, 2] = np.where(mask, np.clip(p1 + dp, 0, mx), p1)
                 if deq and filter_q:
                     dq = np.clip((((q2 + q0 + 1) >> 1) - q1 - dl) >> 1, -tch, tch)
-                    out[:, 5] = np.where(mask, np.clip(q1 + dq, 0, 255), q1)
+                    out[:, 5] = np.where(mask, np.clip(q1 + dq, 0, mx), q1)
             view[y0 : y0 + 4, e - 4 : e + 4] = out
 
 
-def _deblock_chroma_dir(plane, comp, st, pps, edges, vertical, tc_off, nf):
+def _deblock_chroma_dir(plane, comp, st, pps, edges, vertical, tc_off, nf,
+                        bd=8):
     """Chroma edges every 8 chroma samples (16 luma), processed in 2-chroma-
     line units (one luma 4x4 partition): edge flags and the QP pair — hence
     tC — can change every 4 luma samples along the edge."""
@@ -517,17 +530,18 @@ def _deblock_chroma_dir(plane, comp, st, pps, edges, vertical, tc_off, nf):
                 continue
             qp_avg = (int(qp_v[yl4, el4 - 1]) + int(qp_v[yl4, el4]) + 1) >> 1
             qpc = chroma_qp_from_luma(qp_avg, c_off)
-            tc = int(TC_TABLE[np.clip(qpc + 2 + tc_off, 0, 53)])
+            tc = int(TC_TABLE[np.clip(qpc + 2 + tc_off, 0, 53)]) << (bd - 8)
             if tc == 0:
                 continue
+            mx = (1 << bd) - 1
             rows = view[yc0 : yc0 + 2, e - 2 : e + 2].astype(np.int32)
             p1, p0, q0, q1 = rows.T
             delta = np.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc, tc)
             out = rows.copy()
             if not nf_v[yl4, el4 - 1]:
-                out[:, 1] = np.clip(p0 + delta, 0, 255)
+                out[:, 1] = np.clip(p0 + delta, 0, mx)
             if not nf_v[yl4, el4]:
-                out[:, 2] = np.clip(q0 - delta, 0, 255)
+                out[:, 2] = np.clip(q0 - delta, 0, mx)
             view[yc0 : yc0 + 2, e - 2 : e + 2] = out
 
 
@@ -557,6 +571,10 @@ def sao_filter(
         h, w = src.shape
         sub = 1 if c == 0 else 2
         cs = ctb // sub
+        bd = sps.bit_depth_y if c == 0 else sps.bit_depth_c
+        mx = (1 << bd) - 1
+        # saoOffsetVal scale: 1 << (bd - min(bd, 10)) == 1 for 8/10-bit
+        oscale = 1 << (bd - min(bd, 10))
         for ry in range(st.sao.shape[0]):
             for rx in range(st.sao.shape[1]):
                 params = st.sao[ry, rx, c]
@@ -566,14 +584,14 @@ def sao_filter(
                 x0, y0 = rx * cs, ry * cs
                 x1, y1 = min(x0 + cs, w), min(y0 + cs, h)
                 blk = src[y0:y1, x0:x1].astype(np.int32)
-                offs = params[T.SAO_O0 : T.SAO_O0 + 4].astype(np.int32)
+                offs = params[T.SAO_O0 : T.SAO_O0 + 4].astype(np.int32) * oscale
                 if t == 1:  # band
                     band_pos = int(params[T.SAO_CLASS])
-                    bands = blk >> 3  # bitDepth 8: bandShift 3
+                    bands = blk >> (bd - 5)
                     delta = np.zeros_like(blk)
                     for i in range(4):
                         delta[bands == ((band_pos + i) & 31)] = offs[i]
-                    res = np.clip(blk + delta, 0, 255)
+                    res = np.clip(blk + delta, 0, mx)
                 else:  # edge
                     eo = int(params[T.SAO_CLASS])
                     (dx0, dy0), (dx1, dy1) = _EO_OFFS[eo]
@@ -601,7 +619,7 @@ def sao_filter(
                         & (yy + dy1 >= 0) & (yy + dy1 < h)
                     )
                     delta[~valid] = 0
-                    res = np.clip(blk + delta, 0, 255)
+                    res = np.clip(blk + delta, 0, mx)
                 # transquant-bypass / pcm samples unchanged
                 nfs = nf[y0 * sub >> 2 : y1 * sub >> 2 : 1, x0 * sub >> 2 : x1 * sub >> 2]
                 nfe = np.repeat(
@@ -629,4 +647,5 @@ def reconstruct_tile(
     planes = deblock(planes, st, sps, pps, sh)
     if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
         planes = sao_filter(planes, st, sps)
-    return [p.astype(np.uint8) for p in planes]
+    dt = np.uint8 if max(sps.bit_depth_y, sps.bit_depth_c) <= 8 else np.uint16
+    return [p.astype(dt) for p in planes]

@@ -51,6 +51,10 @@ class _De265:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int),
             ]
+            lib.de265_get_bits_per_pixel.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int,
+            ]
             lib.de265_flush_data.argtypes = [ctypes.c_void_p]
             lib.de265_free_decoder.argtypes = [ctypes.c_void_p]
             lib.de265_release_next_picture.argtypes = [ctypes.c_void_p]
@@ -59,7 +63,8 @@ class _De265:
 
 
 def decode_hevc_annexb(stream: bytes) -> list[np.ndarray]:
-    """Decode an Annex-B HEVC stream; returns [Y, Cb, Cr] uint8 planes."""
+    """Decode an Annex-B HEVC stream; returns [Y, Cb, Cr] planes
+    (uint8 for 8-bit streams, uint16 for 10/12-bit)."""
     lib = _De265.lib()
     ctx = lib.de265_new_decoder()
     if not ctx:
@@ -79,9 +84,12 @@ def decode_hevc_annexb(stream: bytes) -> list[np.ndarray]:
                 for ch in range(3):
                     w = lib.de265_get_image_width(img, ch)
                     h = lib.de265_get_image_height(img, ch)
-                    stride = ctypes.c_int(0)
+                    bpp = lib.de265_get_bits_per_pixel(img, ch)
+                    stride = ctypes.c_int(0)  # in bytes
                     ptr = lib.de265_get_image_plane(img, ch, ctypes.byref(stride))
                     buf = np.ctypeslib.as_array(ptr, shape=(h, stride.value))
+                    if bpp > 8:  # little-endian uint16 samples
+                        buf = buf.view(np.uint16)
                     planes.append(buf[:, :w].copy())
                 lib.de265_release_next_picture(ctx)
                 break

@@ -1,0 +1,111 @@
+"""Bitstream fixture matrix: x265-encoded streams exercising the syntax
+branches the single real-world fixture (halfmoonbay.heic) never hits,
+each decoded with this framework and compared BIT-EXACT against the
+libde265 oracle (the reference's verification doctrine —
+/root/reference/tests/libheif_comparison.rs:10-112 — extended to pixel
+planes per SURVEY.md §4).
+
+Coverage targets (VERDICT r2 item 2): transform skip, transquant bypass
+(lossless), sign-data-hiding off, WPP off, CTU 16/64, QP extremes,
+SAO off, strong-intra-smoothing off, default scaling lists, 10-bit.
+"""
+
+import numpy as np
+import pytest
+
+from heif_tpu.models.decoder import HeicDecoder
+from heif_tpu.utils import oracle
+
+x265enc = pytest.importorskip("heif_tpu.utils.x265enc")
+
+if not x265enc.available(8):
+    pytest.skip("libx265 not present", allow_module_level=True)
+
+
+def _content(h, w, seed=3, depth=8):
+    """Mixed synthetic content: gradients + texture + flat + edges, so
+    the encoder exercises many intra modes and both transform paths."""
+    rng = np.random.default_rng(seed)
+    yy = np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 256
+    yy = yy.astype(np.int32)
+    # noise patch
+    yy[h // 4 : h // 2, w // 4 : w // 2] = rng.integers(
+        0, 256, (h // 4, w // 4)
+    )
+    # flat patch + hard edge
+    yy[: h // 8, :] = 200
+    yy[:, : w // 8] = 20
+    cb = (np.add.outer(np.arange(h // 2), np.arange(w // 2)) * 2 % 256)
+    cr = rng.integers(0, 256, (h // 2, w // 2))
+    if depth == 8:
+        return (
+            yy.astype(np.uint8),
+            cb.astype(np.uint8),
+            cr.astype(np.uint8),
+        )
+    shift = depth - 8
+    return (
+        (yy.astype(np.uint16) << shift),
+        (cb.astype(np.uint16) << shift),
+        (cr.astype(np.uint16) << shift),
+    )
+
+
+def _roundtrip(h, w, qp, options, seed=3, depth=8):
+    y, cb, cr = _content(h, w, seed=seed, depth=depth)
+    stream = x265enc.encode_i_frame(
+        y, cb, cr, qp=qp, bit_depth=depth, options=options
+    )
+    want = oracle.decode_hevc_annexb(stream)
+    got = HeicDecoder.decode_hevc(stream)
+    assert got["Y"].shape == want[0].shape
+    for name, mine, ref in (
+        ("Y", got["Y"], want[0]),
+        ("Cb", got["Cb"], want[1]),
+        ("Cr", got["Cr"], want[2]),
+    ):
+        diff = np.count_nonzero(np.asarray(mine) != np.asarray(ref))
+        assert diff == 0, f"{name}: {diff} differing samples"
+
+
+MATRIX = {
+    # name: (h, w, qp, options)
+    "base_qp30": (128, 128, 30, {}),
+    "qp_min": (128, 128, 1, {}),
+    "qp_max": (128, 128, 51, {}),
+    "ctu16": (128, 128, 30, {"ctu": "16", "wpp": "0"}),
+    "ctu64": (192, 192, 30, {"ctu": "64"}),
+    "no_wpp": (256, 256, 28, {"wpp": "0"}),
+    "wpp_many_rows": (256, 256, 28, {"ctu": "16"}),
+    "tskip": (128, 128, 30, {"tskip": "1"}),
+    "lossless": (128, 128, 4, {"lossless": "1"}),
+    "cu_lossless": (128, 128, 24, {"cu-lossless": "1"}),
+    "signhide_off": (128, 128, 26, {"signhide": "0"}),
+    "no_sao": (128, 128, 30, {"sao": "0"}),
+    "no_strong_smoothing": (
+        192, 192, 34, {"strong-intra-smoothing": "0", "ctu": "64"},
+    ),
+    "no_deblock": (128, 128, 30, {"deblock": "0"}),
+    "scaling_lists_default": (128, 128, 30, {"scaling-list": "default"}),
+    "odd_size": (136, 120, 30, {}),  # conformance-window crop
+    "rdoq_heavy": (192, 192, 37, {"rdoq-level": "2", "psy-rdoq": "2"}),
+}
+
+
+@pytest.mark.parametrize("name", sorted(MATRIX))
+def test_fixture_bit_exact(name):
+    h, w, qp, options = MATRIX[name]
+    _roundtrip(h, w, qp, options)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_fixture_random_content_sweep(seed):
+    _roundtrip(256, 256, 27, {}, seed=seed)
+
+
+def test_fixture_main10_bit_exact():
+    """Main-10 decode, bit-exact vs libde265 (VERDICT r2 item 5)."""
+    if not x265enc.available(10):
+        pytest.skip("libx265 lacks a 10-bit encoder")
+    _roundtrip(128, 128, 30, {}, depth=10)

@@ -250,6 +250,40 @@ class TestSliceHeader:
             assert len(ps.substream_ranges()) == 16
 
 
+class TestTilesGuard:
+    def test_tiles_enabled_is_rejected_loudly(self, fixture_ps):
+        """tiles_enabled_flag=1 must fail with a clear error, not desync.
+
+        Decode support for tile-segmented pictures does not exist (the
+        reference also only parses the PPS tile geometry,
+        src/hevc/parameter_set_reader.rs:383-412); the raster CTU loop
+        would silently produce garbage, so both entropy front-ends refuse.
+        """
+        import dataclasses
+
+        r, heif, rec, _, sps, pps = fixture_ps
+        pps_tiled = dataclasses.replace(
+            pps,
+            tiles_enabled_flag=True,
+            num_tile_columns_minus1=1,
+            num_tile_rows_minus1=0,
+        )
+        nals = sl.split_length_prefixed_nals(
+            r.get_item_data(1), rec.length_size_minus_one + 1
+        )
+        ps = sl.parse_slice_header(nals[0], sps, pps)
+        from heif_tpu.cabac.syntax import TileSyntaxDecoder
+
+        with pytest.raises(NotImplementedError, match="tiles_enabled"):
+            TileSyntaxDecoder(sps, pps_tiled, ps)
+
+        from heif_tpu import native
+
+        if native.available():
+            with pytest.raises(NotImplementedError, match="tiles_enabled"):
+                native.decode_tile_native(sps, pps_tiled, ps)
+
+
 class TestOracles:
     def test_de265_tile_decode(self, fixture_ps):
         from heif_tpu.utils import oracle
