@@ -70,6 +70,8 @@ class BatchPlan:
     cb_qp_off: int
     cr_qp_off: int
     strong_smoothing: bool
+    bit_depth_y: int = 8
+    bit_depth_c: int = 8
 
 
 def pack_batch(
@@ -220,6 +222,8 @@ def pack_batch(
         cb_qp_off=p0.cb_qp_off,
         cr_qp_off=p0.cr_qp_off,
         strong_smoothing=bool(sps.strong_intra_smoothing_enabled_flag),
+        bit_depth_y=sps.bit_depth_y,
+        bit_depth_c=sps.bit_depth_c,
     )
 
 
@@ -251,6 +255,7 @@ def _core(
     *,
     n, H, W, ctb_log2, deblock_disabled, sao_luma, sao_chroma,
     beta_off, tc_off, cb_qp_off, cr_qp_off, strong_smoothing, use_pallas,
+    bd_y=8, bd_c=8,
 ):
     Hc, Wc = H // 2, W // 2
     dims = [(H, W), (Hc, Wc), (Hc, Wc)]
@@ -264,7 +269,8 @@ def _core(
     res_dense = [jnp.zeros((n, h, w), jnp.int32) for h, w in dims]
     for (comp, size), (coeffs, qp, dst, skip, bypass, org) in tc_arrays.items():
         r = J.residual_class(
-            coeffs, qp, dst, skip, bypass, scaling[(size, comp)], size
+            coeffs, qp, dst, skip, bypass, scaling[(size, comp)], size,
+            bd_y if comp == 0 else bd_c,
         )
         h, w = dims[comp]
         gh, gw = h // size, w // size
@@ -344,6 +350,7 @@ def _core(
                 J.intra_scan_component,
                 is_luma=(c == 0),
                 strong_smoothing=strong_smoothing,
+                bd=bd_y if c == 0 else bd_c,
             )
             plane = jax.vmap(scan_fn)(plane0, res[c], pcm_c, xs[c] + (srcs[c],))
             planes.append(plane[:, 1 : 1 + h, 1 : 1 + w])
@@ -353,7 +360,10 @@ def _core(
         ne = W // 8 - 1
         cols = 2 * jnp.arange(ne) + 2
         lv = jax.vmap(
-            partial(J._deblock_luma_pass, beta_off=beta_off, tc_off=tc_off)
+            partial(
+                J._deblock_luma_pass, beta_off=beta_off, tc_off=tc_off,
+                bd=bd_y,
+            )
         )
         y = lv(
             planes[0],
@@ -381,7 +391,9 @@ def _core(
 
         nec = Wc // 8 - 1
         ccols = 4 * jnp.arange(nec) + 4
-        cv = jax.vmap(partial(J._deblock_chroma_pass, tc_off=tc_off))
+        cv = jax.vmap(
+            partial(J._deblock_chroma_pass, tc_off=tc_off, bd=bd_c)
+        )
         for ci, c_off in ((1, cb_qp_off), (2, cr_qp_off)):
             qp_avg = (qp_map[:, :, ccols - 1] + qp_map[:, :, ccols] + 1) >> 1
             qpc = J._onehot_take(J._CHROMA_QP_LUT, jnp.clip(qp_avg + c_off, 0, 57), 58)
@@ -408,15 +420,17 @@ def _core(
 
     # ---- stage 4: SAO ----
     if sao_luma or sao_chroma:
-        sv = jax.vmap(J.sao_component)
         out = []
         for c in range(3):
+            sv = jax.vmap(
+                partial(J.sao_component, bd=bd_y if c == 0 else bd_c)
+            )
             enabled = sao_luma if c == 0 else sao_chroma
             if not enabled:
                 out.append(planes[c])
                 continue
             sub = 1 if c == 0 else 2
-            cs = 32 // sub
+            cs = (1 << ctb_log2) // sub
             h, w = dims[c]
 
             def rep(a):
@@ -433,7 +447,8 @@ def _core(
             out.append(sv(planes[c], stype, sclass, offs, nf_pix))
         planes = out
 
-    return [p.astype(jnp.uint8) for p in planes]
+    out_dt = jnp.uint8 if max(bd_y, bd_c) <= 8 else jnp.uint16
+    return [p.astype(out_dt) for p in planes]
 
 
 _core_jit = jax.jit(
@@ -441,7 +456,7 @@ _core_jit = jax.jit(
     static_argnames=(
         "n", "H", "W", "ctb_log2", "deblock_disabled", "sao_luma", "sao_chroma",
         "beta_off", "tc_off", "cb_qp_off", "cr_qp_off", "strong_smoothing",
-        "use_pallas",
+        "use_pallas", "bd_y", "bd_c",
     ),
 )
 
@@ -460,6 +475,10 @@ def _pallas_ok(bp: BatchPlan) -> bool:
     if _pallas_broken:
         return False
     if os.environ.get("HEIF_TPU_NO_PALLAS"):
+        return False
+    if bp.bit_depth_y != 8 or bp.bit_depth_c != 8:
+        # the pallas kernels carry samples through bf16 weights dots,
+        # which is integer-exact only for 8-bit references
         return False
     if any(p is not None for p in bp.pcm):
         return False
@@ -507,6 +526,7 @@ def _dispatch_core(bp: BatchPlan):
             cb_qp_off=bp.cb_qp_off, cr_qp_off=bp.cr_qp_off,
             strong_smoothing=bp.strong_smoothing,
             use_pallas=use_pallas,
+            bd_y=bp.bit_depth_y, bd_c=bp.bit_depth_c,
         )
 
     use_pallas = _pallas_ok(bp)
@@ -765,5 +785,6 @@ def reconstruct_batch(bp: BatchPlan) -> list:
         cr_qp_off=bp.cr_qp_off,
         strong_smoothing=bp.strong_smoothing,
         use_pallas=_pallas_ok(bp),
+        bd_y=bp.bit_depth_y, bd_c=bp.bit_depth_c,
     )
     return [np.asarray(p) for p in planes]

@@ -170,14 +170,15 @@ def _onehot_take(vec, idx, n: int):
 # ==========================================================================
 
 
-def residual_class(coeffs, qp, dst, skip, bypass, scaling, size: int):
+def residual_class(coeffs, qp, dst, skip, bypass, scaling, size: int,
+                   bd: int = 8):
     """One (comp,size) class: [n,s,s] levels -> [n,s,s] residual (int32).
 
     coeffs may arrive int16 (wire format); computed in int32."""
     coeffs = coeffs.astype(jnp.int32)
     n = coeffs.shape[0]
     log2 = size.bit_length() - 1
-    bd_shift = 8 + log2 - 5
+    bd_shift = bd + log2 - 5
     v = coeffs * scaling[None] * _LEVEL_SCALE[qp % 6][:, None, None]
     e = qp // 6
     lo = jnp.where(
@@ -212,11 +213,11 @@ def residual_class(coeffs, qp, dst, skip, bypass, scaling, size: int):
                 g1, t, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
             )
-            + 2048
+            + (1 << (19 - bd))
         )
-        >> 12
+        >> (20 - bd)
     )
-    r_skip = _clip16(((d << 7) + 2048) >> 12)
+    r_skip = _clip16(((d << 7) + (1 << (19 - bd))) >> (20 - bd))
     r = jnp.where(skip[:, None, None], r_skip, r)
     r = jnp.where(bypass[:, None, None], coeffs, r)
     return r
@@ -344,7 +345,8 @@ def ref_sources_device(x, y, size, *, comp: int, W: int, H: int,
 # ==========================================================================
 
 
-def _predict_block(left, top, size, log2, mode, is_luma, strong_smoothing):
+def _predict_block(left, top, size, log2, mode, is_luma, strong_smoothing,
+                   bd: int = 8):
     """Intra prediction at padded 32x32 (§8.4.4.2.4-6) via the static
     linear weights plus masked nonlinear fix-ups.
 
@@ -380,21 +382,23 @@ def _predict_block(left, top, size, log2, mode, is_luma, strong_smoothing):
     comp_ok = is_luma & (s < 32)
     v_edge = comp_ok & (mode == 26)
     h_edge = comp_ok & (mode == 10)
-    delta_v = jnp.clip(top[1] + ((left[1 : MAX_S + 1] - left[0]) >> 1), 0, 255)
-    delta_h = jnp.clip(left[1] + ((top[1 : MAX_S + 1] - top[0]) >> 1), 0, 255)
+    mxv = (1 << bd) - 1
+    delta_v = jnp.clip(top[1] + ((left[1 : MAX_S + 1] - left[0]) >> 1), 0, mxv)
+    delta_h = jnp.clip(left[1] + ((top[1 : MAX_S + 1] - top[0]) >> 1), 0, mxv)
     pred = jnp.where(v_edge & (cc == 0), delta_v[:, None], pred)
     pred = jnp.where(h_edge & (rr == 0), delta_h[None, :], pred)
     return pred
 
 
-def _filter_refs(left, top, size, log2, mode, filter_flag, strong_smoothing):
+def _filter_refs(left, top, size, log2, mode, filter_flag, strong_smoothing,
+                 bd: int = 8):
     """§8.4.4.2.3 reference smoothing ([1 2 1] or bilinear), branchless."""
     idx = jnp.arange(REF_LEN)
     n2 = 2 * size
     corner = left[0]
 
     # bilinear (strong smoothing) condition — value-dependent, 32x32 only
-    thr = 8
+    thr = 1 << (bd - 5)
     bi = (
         strong_smoothing
         & (size == 32)
@@ -439,6 +443,7 @@ def _filter_refs(left, top, size, log2, mode, filter_flag, strong_smoothing):
 
 def intra_scan_component(
     plane0, res_plane, pcm_plane, xs, is_luma: bool, strong_smoothing: bool,
+    bd: int = 8,
 ):
     """lax.scan over one component's TU worklist.
 
@@ -464,20 +469,20 @@ def intra_scan_component(
         srci = src.astype(jnp.int32)  # uint8; 255 = unavailable
         refs = jnp.where(
             srci >= 2 * REF_LEN,
-            128,
+            1 << (bd - 1),
             _onehot_take(local, jnp.minimum(srci, 2 * REF_LEN - 1), 2 * REF_LEN),
         )
         left, top = refs[0], refs[1]
         if is_luma:
             left, top = _filter_refs(
-                left, top, size, log2, mode, filt, strong_smoothing
+                left, top, size, log2, mode, filt, strong_smoothing, bd
             )
         pred = _predict_block(
-            left, top, size, log2, mode, is_luma, strong_smoothing
+            left, top, size, log2, mode, is_luma, strong_smoothing, bd
         )
         res = lax.dynamic_slice(res_plane, (ty, tx), (MAX_S, MAX_S))
         pcmb = lax.dynamic_slice(pcm_plane, (ty, tx), (MAX_S, MAX_S))
-        new = jnp.clip(pred + res, 0, 255)
+        new = jnp.clip(pred + res, 0, (1 << bd) - 1)
         new = jnp.where(pcm.astype(bool), pcmb, new)
         cur = lax.dynamic_slice(plane, (ty + 1, tx + 1), (MAX_S, MAX_S))
         mask = (
@@ -499,7 +504,7 @@ def intra_scan_component(
 
 
 def _deblock_luma_pass(plane, edge_present, qp_p, qp_q, nf_p, nf_q,
-                       beta_off: int, tc_off: int):
+                       beta_off: int, tc_off: int, bd: int = 8):
     """One direction of luma deblocking, fully vectorized.
 
     plane: [H, W] with W % 8 == 0; filters the W//8 - 1 internal vertical
@@ -513,8 +518,10 @@ def _deblock_luma_pass(plane, edge_present, qp_p, qp_q, nf_p, nf_q,
     q0, q1, q2, q3 = seg[..., 4], seg[..., 5], seg[..., 6], seg[..., 7]
 
     qp_avg = (qp_p + qp_q + 1) >> 1
-    beta = _onehot_take(_BETA, jnp.clip(qp_avg + beta_off, 0, 51), 52)
-    tc = _onehot_take(_TC, jnp.clip(qp_avg + 2 + tc_off, 0, 53), len(TC_TABLE))
+    beta = _onehot_take(_BETA, jnp.clip(qp_avg + beta_off, 0, 51), 52) << (bd - 8)
+    tc = _onehot_take(
+        _TC, jnp.clip(qp_avg + 2 + tc_off, 0, 53), len(TC_TABLE)
+    ) << (bd - 8)
 
     def dd(i):
         dp = jnp.abs(p2[..., i] - 2 * p1[..., i] + p0[..., i])
@@ -552,13 +559,14 @@ def _deblock_luma_pass(plane, edge_present, qp_p, qp_q, nf_p, nf_q,
     delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
     wmask = jnp.abs(delta) < tcb * 10
     dl = jnp.clip(delta, -tcb, tcb)
-    wp0 = jnp.where(wmask, jnp.clip(p0 + dl, 0, 255), p0)
-    wq0 = jnp.where(wmask, jnp.clip(q0 - dl, 0, 255), q0)
+    mxv = (1 << bd) - 1
+    wp0 = jnp.where(wmask, jnp.clip(p0 + dl, 0, mxv), p0)
+    wq0 = jnp.where(wmask, jnp.clip(q0 - dl, 0, mxv), q0)
     tch = (tc >> 1)[..., None]
     dpv = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dl) >> 1, -tch, tch)
-    wp1 = jnp.where(wmask & dep[..., None], jnp.clip(p1 + dpv, 0, 255), p1)
+    wp1 = jnp.where(wmask & dep[..., None], jnp.clip(p1 + dpv, 0, mxv), p1)
     dqv = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dl) >> 1, -tch, tch)
-    wq1 = jnp.where(wmask & deq[..., None], jnp.clip(q1 + dqv, 0, 255), q1)
+    wq1 = jnp.where(wmask & deq[..., None], jnp.clip(q1 + dqv, 0, mxv), q1)
 
     sm = strong[..., None]
     fm = filt[..., None]
@@ -576,7 +584,8 @@ def _deblock_luma_pass(plane, edge_present, qp_p, qp_q, nf_p, nf_q,
     return plane.at[:, 4 : 4 + ne * 8].set(out)
 
 
-def _deblock_chroma_pass(plane, edge_present, qpc, nf_p, nf_q, tc_off: int):
+def _deblock_chroma_pass(plane, edge_present, qpc, nf_p, nf_q, tc_off: int,
+                         bd: int = 8):
     """One direction of chroma deblocking in 2-line units.
 
     plane: [Hc, Wc]; edges every 8 chroma cols. edge_present/qpc/nf:
@@ -586,12 +595,15 @@ def _deblock_chroma_pass(plane, edge_present, qpc, nf_p, nf_q, tc_off: int):
     ne = w // 8 - 1
     seg = plane[:, 6 : 6 + ne * 8].reshape(h // 2, 2, ne, 8).transpose(0, 2, 1, 3)
     p1, p0, q0, q1 = seg[..., 0], seg[..., 1], seg[..., 2], seg[..., 3]
-    tc = _onehot_take(_TC, jnp.clip(qpc + 2 + tc_off, 0, 53), len(TC_TABLE))
+    tc = _onehot_take(
+        _TC, jnp.clip(qpc + 2 + tc_off, 0, 53), len(TC_TABLE)
+    ) << (bd - 8)
+    mxv = (1 << bd) - 1
     tcb = tc[..., None]
     delta = jnp.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tcb, tcb)
     fm = (edge_present & (tc > 0))[..., None]
-    np0 = jnp.where(fm & (~nf_p[..., None]), jnp.clip(p0 + delta, 0, 255), p0)
-    nq0 = jnp.where(fm & (~nf_q[..., None]), jnp.clip(q0 - delta, 0, 255), q0)
+    np0 = jnp.where(fm & (~nf_p[..., None]), jnp.clip(p0 + delta, 0, mxv), p0)
+    nq0 = jnp.where(fm & (~nf_q[..., None]), jnp.clip(q0 - delta, 0, mxv), q0)
     out = jnp.stack(
         [p1, np0, nq0, q1, seg[..., 4], seg[..., 5], seg[..., 6], seg[..., 7]],
         axis=-1,
@@ -607,11 +619,12 @@ def _deblock_chroma_pass(plane, edge_present, qpc, nf_p, nf_q, tc_off: int):
 _EO = ((( -1, 0), (1, 0)), ((0, -1), (0, 1)), ((-1, -1), (1, 1)), ((1, -1), (-1, 1)))
 
 
-def sao_component(plane, sao_type, sao_class, offs, nf_pix):
+def sao_component(plane, sao_type, sao_class, offs, nf_pix, bd: int = 8):
     """plane [H, W]; per-pixel sao params (already upsampled per CTB)."""
     h, w = plane.shape
+    offs = offs * (1 << (bd - min(bd, 10)))  # saoOffsetVal scale
     # band
-    band = plane >> 3
+    band = plane >> (bd - 5)
     bdelta = jnp.zeros_like(plane)
     for i in range(4):
         bdelta = bdelta + jnp.where(
@@ -638,10 +651,11 @@ def sao_component(plane, sao_type, sao_class, offs, nf_pix):
         )
         dlt = jnp.where(valid, dlt, 0)
         edelta = jnp.where(sao_class == cls, dlt, edelta)
+    mxv = (1 << bd) - 1
     res = jnp.where(
         sao_type == 1,
-        jnp.clip(plane + bdelta, 0, 255),
-        jnp.where(sao_type == 2, jnp.clip(plane + edelta, 0, 255), plane),
+        jnp.clip(plane + bdelta, 0, mxv),
+        jnp.where(sao_type == 2, jnp.clip(plane + edelta, 0, mxv), plane),
     )
     return jnp.where(nf_pix, plane, res)
 
@@ -689,6 +703,7 @@ def reconstruct_tile_jax(plan: P.DecodePlan, sps, sh) -> list[np.ndarray]:
             jnp.asarray(tc.bypass),
             jnp.asarray(plan.scaling[(tc.size, tc.comp)]),
             tc.size,
+            sps.bit_depth_y if tc.comp == 0 else sps.bit_depth_c,
         )
         width = (W + PAD) if tc.comp == 0 else (Wc + PAD)
         res[tc.comp] = scatter_blocks(
@@ -712,7 +727,8 @@ def reconstruct_tile_jax(plan: P.DecodePlan, sps, sh) -> list[np.ndarray]:
             pcm = pcm.at[:h, :w].set(jnp.asarray(plan.pcm_planes[c]))
         plane0 = jnp.zeros((1 + h + SPAD, 1 + w + SPAD), jnp.int32)
         plane = intra_scan_component(
-            plane0, res_planes[c], pcm, xs[c], c == 0, strong
+            plane0, res_planes[c], pcm, xs[c], c == 0, strong,
+            sps.bit_depth_y if c == 0 else sps.bit_depth_c,
         )
         planes.append(plane[1 : 1 + h, 1 : 1 + w])
 
@@ -732,14 +748,16 @@ def reconstruct_tile_jax(plan: P.DecodePlan, sps, sh) -> list[np.ndarray]:
         qpq = qp[:, cols]
         nfp = nf[:, cols - 1]
         nfq = nf[:, cols]
-        y = _deblock_luma_pass(planes[0], ep, qpp, qpq, nfp, nfq, bo, to)
+        bdy = sps.bit_depth_y
+        bdc = sps.bit_depth_c
+        y = _deblock_luma_pass(planes[0], ep, qpp, qpq, nfp, nfq, bo, to, bdy)
         # luma horizontal (transpose world)
         epT = he.T[:, cols]
         qppT = qp.T[:, cols - 1]
         qpqT = qp.T[:, cols]
         nfpT = nf.T[:, cols - 1]
         nfqT = nf.T[:, cols]
-        y = _deblock_luma_pass(y.T, epT, qppT, qpqT, nfpT, nfqT, bo, to).T
+        y = _deblock_luma_pass(y.T, epT, qppT, qpqT, nfpT, nfqT, bo, to, bdy).T
         planes[0] = y
 
         # chroma: edges every 8 chroma cols -> luma 4x4 col 4k+4; units of
@@ -751,13 +769,13 @@ def reconstruct_tile_jax(plan: P.DecodePlan, sps, sh) -> list[np.ndarray]:
             qp_avg = (qp[:, ccols - 1] + qp[:, ccols] + 1) >> 1
             qpc = _onehot_take(_CHROMA_QP_LUT, jnp.clip(qp_avg + c_off, 0, 57), 58)
             p = _deblock_chroma_pass(
-                planes[ci], ep_v, qpc, nf[:, ccols - 1], nf[:, ccols], to
+                planes[ci], ep_v, qpc, nf[:, ccols - 1], nf[:, ccols], to, bdc
             )
             ep_h = he.T[:, ccols]
             qp_avgT = (qp.T[:, ccols - 1] + qp.T[:, ccols] + 1) >> 1
             qpcT = _onehot_take(_CHROMA_QP_LUT, jnp.clip(qp_avgT + c_off, 0, 57), 58)
             p = _deblock_chroma_pass(
-                p.T, ep_h, qpcT, nf.T[:, ccols - 1], nf.T[:, ccols], to
+                p.T, ep_h, qpcT, nf.T[:, ccols - 1], nf.T[:, ccols], to, bdc
             ).T
             planes[ci] = p
 
@@ -772,7 +790,7 @@ def reconstruct_tile_jax(plan: P.DecodePlan, sps, sh) -> list[np.ndarray]:
                 new_planes.append(planes[c])
                 continue
             sub = 1 if c == 0 else 2
-            cs = 32 // sub  # ctb size in component samples (CTB 32)
+            cs = sps.ctb_size_y // sub  # ctb size in component samples
             rep = lambda a: jnp.repeat(jnp.repeat(a, cs, 0), cs, 1)
             stype = rep(sao[:, :, c, 0])
             sclass = rep(sao[:, :, c, 1])
@@ -788,11 +806,17 @@ def reconstruct_tile_jax(plan: P.DecodePlan, sps, sh) -> list[np.ndarray]:
                 sao_component(
                     planes[c], stype[:h, :w], sclass[:h, :w], offs[:h, :w],
                     nf_pix[:h, :w],
+                    sps.bit_depth_y if c == 0 else sps.bit_depth_c,
                 )
             )
         planes = new_planes
 
-    return [np.asarray(p).astype(np.uint8) for p in planes]
+    dt = (
+        np.uint8
+        if max(sps.bit_depth_y, sps.bit_depth_c) <= 8
+        else np.uint16
+    )
+    return [np.asarray(p).astype(dt) for p in planes]
 
 
 def reconstruct_tiles_batched(syntaxes, sps, pps, slices) -> list:

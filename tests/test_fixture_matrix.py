@@ -109,3 +109,37 @@ def test_fixture_main10_bit_exact():
     if not x265enc.available(10):
         pytest.skip("libx265 lacks a 10-bit encoder")
     _roundtrip(128, 128, 30, {}, depth=10)
+
+
+def test_fixture_main10_jax_backend_bit_exact():
+    """Main-10 through the batched device (XLA) pipeline."""
+    if not x265enc.available(10):
+        pytest.skip("libx265 lacks a 10-bit encoder")
+    y, cb, cr = _content(128, 128, depth=10)
+    stream = x265enc.encode_i_frame(y, cb, cr, qp=28, bit_depth=10)
+    want = oracle.decode_hevc_annexb(stream)
+    got = HeicDecoder.decode_hevc(stream, backend="jax")
+    for name, mine, ref in (
+        ("Y", got["Y"], want[0]),
+        ("Cb", got["Cb"], want[1]),
+        ("Cr", got["Cr"], want[2]),
+    ):
+        diff = np.count_nonzero(np.asarray(mine) != np.asarray(ref))
+        assert diff == 0, f"{name}: {diff} differing samples"
+
+
+@pytest.mark.parametrize("name", ["base_qp30", "tskip", "no_wpp"])
+def test_fixture_jax_backend_bit_exact(name):
+    """Key 8-bit matrix cases through the batched device pipeline too."""
+    h, w, qp, options = MATRIX[name]
+    y, cb, cr = _content(h, w)
+    stream = x265enc.encode_i_frame(y, cb, cr, qp=qp, options=options)
+    want = oracle.decode_hevc_annexb(stream)
+    got = HeicDecoder.decode_hevc(stream, backend="jax")
+    for pname, mine, ref in (
+        ("Y", got["Y"], want[0]),
+        ("Cb", got["Cb"], want[1]),
+        ("Cr", got["Cr"], want[2]),
+    ):
+        diff = np.count_nonzero(np.asarray(mine) != np.asarray(ref))
+        assert diff == 0, f"{pname}: {diff} differing samples"
