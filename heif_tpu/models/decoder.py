@@ -37,6 +37,7 @@ class ImageInfo:
     tile_ids: list[int]
     primary_item_id: int
     thumbnail_count: int
+    icc: Optional[object] = None  # container.icc.IccProfile when present
 
 
 class HeicDecoder:
@@ -82,6 +83,21 @@ class HeicDecoder:
 
         thumbs = heif.items_referring_to(primary, "thmb")
 
+        # ICC: parse header + tag table from a prof/rICC colr payload
+        # (completes the reference's dead color module,
+        # src/color/reader.rs:11-135)
+        icc = None
+        colr = props.property_of_type(
+            tile_ids[0] if tile_ids else primary, g.ColorInformationProperty
+        ) or props.property_of_type(primary, g.ColorInformationProperty)
+        if colr is not None and colr.icc_profile:
+            from heif_tpu.container.icc import parse_icc_header
+
+            try:
+                icc = parse_icc_header(colr.icc_profile)
+            except ValueError:
+                icc = None
+
         return ImageInfo(
             ispe_width=ispe.width,
             ispe_height=ispe.height,
@@ -95,6 +111,7 @@ class HeicDecoder:
             tile_ids=tile_ids,
             primary_item_id=primary,
             thumbnail_count=len(thumbs),
+            icc=icc,
         )
 
     # ------------------------------------------------------------------

@@ -206,3 +206,77 @@ class TestSyntheticBoxes:
         r = HeifReader(ftyp + meta)
         r.read()
         assert r.get_item_data(7) == b"ABCDEFGH"
+
+
+class TestIccParser:
+    """ICC header/tag-table parsing (completes the reference's dead
+    color module, src/color/reader.rs:11-135)."""
+
+    @staticmethod
+    def _synthetic_profile() -> bytes:
+        import struct
+
+        desc_text = b"sRGB test profile\x00"
+        desc_payload = (
+            b"desc" + b"\x00" * 4 + struct.pack(">I", len(desc_text))
+            + desc_text
+        )
+        n_tags = 1
+        tag_table = struct.pack(">I", n_tags)
+        tag_off = 132 + 12 * n_tags
+        tag_table += struct.pack(">4sII", b"desc", tag_off, len(desc_payload))
+        hdr = bytearray(128)
+        total = tag_off + len(desc_payload)
+        struct.pack_into(">I", hdr, 0, total)
+        hdr[4:8] = b"ADBE"
+        hdr[8:12] = bytes([4, 0x30, 0, 0])  # version 4.3.0
+        hdr[12:16] = b"mntr"
+        hdr[16:20] = b"RGB "
+        hdr[20:24] = b"XYZ "
+        struct.pack_into(">6H", hdr, 24, 2024, 6, 1, 12, 0, 0)
+        hdr[36:40] = b"acsp"
+        hdr[40:44] = b"APPL"
+        struct.pack_into(">I", hdr, 64, 1)  # rendering intent
+        hdr[80:84] = b"test"
+        return bytes(hdr) + tag_table + desc_payload
+
+    def test_parse_header_and_tags(self):
+        from heif_tpu.container.icc import parse_icc_header
+
+        prof = parse_icc_header(self._synthetic_profile())
+        assert prof.profile_class == "display"
+        assert prof.color_space == "RGB"
+        assert prof.pcs == "XYZ"
+        assert prof.version == "4.3.0"
+        assert prof.platform == "Apple"
+        assert prof.rendering_intent == 1
+        assert prof.creation[:3] == (2024, 6, 1)
+        assert [t.signature for t in prof.tags] == ["desc"]
+        assert prof.description == "sRGB test profile"
+
+    def test_rejects_garbage(self):
+        import pytest
+
+        from heif_tpu.container.icc import parse_icc_header
+
+        with pytest.raises(ValueError):
+            parse_icc_header(b"\x00" * 100)
+        bad = bytearray(self._synthetic_profile())
+        bad[36:40] = b"nope"
+        with pytest.raises(ValueError):
+            parse_icc_header(bytes(bad))
+
+    def test_probe_fixture_display_p3(self, halfmoonbay_bytes):
+        # the fixture's tiles carry a real Display P3 ICC profile
+        from heif_tpu.models.decoder import HeicDecoder
+
+        info = HeicDecoder.probe(halfmoonbay_bytes)
+        p = info.icc
+        assert p is not None
+        assert p.description == "Display P3"
+        assert p.profile_class == "display"
+        assert p.color_space == "RGB" and p.pcs == "XYZ"
+        assert p.platform == "Apple"
+        assert {t.signature for t in p.tags} >= {
+            "desc", "wtpt", "rXYZ", "gXYZ", "bXYZ", "rTRC",
+        }
