@@ -43,7 +43,7 @@ SPAD = 2 * MAX_S  # recon-plane padding (reference strips reach 2N ahead)
 
 # ---- static tables (device constants) ----
 
-_ANGLES = jnp.asarray(INTRA_PRED_ANGLE, dtype=jnp.int32)  # modes 2..34
+_ANGLES = np.asarray(INTRA_PRED_ANGLE, dtype=np.int32)  # modes 2..34
 
 # inverse-angle side-extension source indices per mode: INV_IDX[mode, k]
 # gives the index into the side array (0=corner) for ref[-1-k], k=0..31.
@@ -63,15 +63,15 @@ def _build_inv_idx() -> np.ndarray:
     return out
 
 
-_INV_IDX = jnp.asarray(_build_inv_idx())
+_INV_IDX = np.asarray(_build_inv_idx())
 
-_CHROMA_QP_LUT = jnp.asarray(
+_CHROMA_QP_LUT = np.asarray(
     [chroma_qp_from_luma(q, 0) for q in range(0, 58)], dtype=jnp.int32
 )
 
-_BETA = jnp.asarray(BETA_TABLE)
-_TC = jnp.asarray(TC_TABLE)
-_LEVEL_SCALE = jnp.asarray(LEVEL_SCALE)
+_BETA = np.asarray(BETA_TABLE)
+_TC = np.asarray(TC_TABLE)
+_LEVEL_SCALE = np.asarray(LEVEL_SCALE)
 
 
 # --------------------------------------------------------------------------
@@ -145,9 +145,9 @@ def _build_pred_weights():
 
 
 _PRED_W_NP, _PRED_B_NP, _PRED_SH_NP = _build_pred_weights()
-_PRED_W = jnp.asarray(_PRED_W_NP)
-_PRED_B = jnp.asarray(_PRED_B_NP)
-_PRED_SH = jnp.asarray(_PRED_SH_NP)
+_PRED_W = _PRED_W_NP
+_PRED_B = _PRED_B_NP
+_PRED_SH = _PRED_SH_NP
 
 
 def _clip16(x):
@@ -179,7 +179,8 @@ def residual_class(coeffs, qp, dst, skip, bypass, scaling, size: int,
     n = coeffs.shape[0]
     log2 = size.bit_length() - 1
     bd_shift = bd + log2 - 5
-    v = coeffs * scaling[None] * _LEVEL_SCALE[qp % 6][:, None, None]
+    v = (coeffs * scaling[None]
+         * jnp.asarray(_LEVEL_SCALE)[qp % 6][:, None, None])
     e = qp // 6
     lo = jnp.where(
         e[:, None, None] < bd_shift,
@@ -189,9 +190,9 @@ def residual_class(coeffs, qp, dst, skip, bypass, scaling, size: int,
     )
     d = _clip16(lo)
 
-    t_dct = jnp.asarray(dct_matrix(size), dtype=jnp.int32)
+    t_dct = np.asarray(dct_matrix(size), dtype=np.int32)
     if size == 4:
-        t_dst = jnp.asarray(DST4, dtype=jnp.int32)
+        t_dst = np.asarray(DST4, dtype=np.int32)
         t = jnp.where(dst[:, None, None], t_dst[None], t_dct[None])
     else:
         t = jnp.broadcast_to(t_dct[None], (n, size, size))
@@ -355,11 +356,14 @@ def _predict_block(left, top, size, log2, mode, is_luma, strong_smoothing,
     s = size
     refvec = jnp.concatenate([left, top])  # [130]
     si = log2 - 2
-    w = _PRED_W[mode, si].astype(jnp.int32)  # [1024, 130]
+    w = jnp.asarray(_PRED_W)[mode, si].astype(jnp.int32)  # [1024, 130]
     acc = jax.lax.dot_general(
         w, refvec, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    pred = ((acc + _PRED_B[mode, si]) >> _PRED_SH[mode, si]).reshape(
+    pred = (
+        (acc + jnp.asarray(_PRED_B)[mode, si])
+        >> jnp.asarray(_PRED_SH)[mode, si]
+    ).reshape(
         MAX_S, MAX_S
     )
 

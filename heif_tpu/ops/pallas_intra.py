@@ -111,12 +111,12 @@ _W4_NP = None
 
 
 def _get_weights():
-    # cache the host array only: caching a jnp array would capture a tracer
-    # when first called inside a jit trace
+    # numpy, not jnp: a np constant lowers instantly, while a device array
+    # captured in a trace costs a tunnel D2H fetch at lowering time
     global _W_NP
     if _W_NP is None:
         _W_NP = _weights_bf16()
-    return jnp.asarray(_W_NP)
+    return _W_NP
 
 
 def _get_w4():
@@ -128,7 +128,7 @@ def _get_w4():
         _W4_NP = np.ascontiguousarray(
             _W_NP.reshape(35, 4, MAX_S, MAX_S, N_REF_PAD)[:, 0, :4, :4, :]
         )
-    return jnp.asarray(_W4_NP)
+    return _W4_NP
 
 
 def _f32(x):
@@ -559,8 +559,8 @@ def intra_scan_pallas(
     res_shift, resT = _shift_res(res, npad, hp, wp, hpT)
     wtab = _get_weights()
     w4 = _get_w4()
-    bias = jnp.asarray(J._PRED_B_NP.reshape(-1))
-    shift = jnp.asarray(J._PRED_SH_NP.reshape(-1))
+    bias = np.ascontiguousarray(J._PRED_B_NP.reshape(-1))
+    shift = np.ascontiguousarray(J._PRED_SH_NP.reshape(-1))
     kernel = partial(
         _kernel_luma, n_steps=s_steps, strong_smoothing=strong_smoothing
     )
@@ -788,8 +788,8 @@ def intra_scan_pallas_chroma2(
     rcr, rcrT = _shift_res(res_cr, npad, hp, wp, hpT)
     wtab = _get_weights()
     w4 = _get_w4()
-    bias = jnp.asarray(J._PRED_B_NP.reshape(-1))
-    shift = jnp.asarray(J._PRED_SH_NP.reshape(-1))
+    bias = np.ascontiguousarray(J._PRED_B_NP.reshape(-1))
+    shift = np.ascontiguousarray(J._PRED_SH_NP.reshape(-1))
     kernel = partial(_kernel_chroma, n_steps=s_steps)
     plane_vmem = [
         pltpu.VMEM((hp, wp), jnp.int32),
