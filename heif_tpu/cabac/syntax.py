@@ -515,10 +515,14 @@ class TileSyntaxDecoder:
         self.intra_mode_y[g4y : g4y + s4, g4x : g4x + s4] = 1  # DC for MPM
         self.vert_edges[g4y : g4y + s4, g4x] = True
         self.horiz_edges[g4y, g4x : g4x + s4] = True
-        # raw sample bits follow at the next byte-aligned position of the
-        # conceptual bitstream: engine holds 9 lookahead bits in ivlOffset.
-        pos = eng.bit_pos - 9
-        pos = (pos + 7) & ~7
+        # raw sample bits follow at the next byte-aligned position. At a
+        # terminate==1 the decoder's consumed bit count equals the
+        # encoder's full arithmetic payload (incl. the EncodeFlush tail,
+        # which the 9-bit lookahead in ivlOffset has already covered), so
+        # alignment starts from bit_pos itself — NOT bit_pos - 9, which
+        # lands a byte early whenever the payload isn't byte-aligned
+        # (caught by the synthesized all-PCM fixture vs libde265).
+        pos = (eng.bit_pos + 7) & ~7
         bd_l = sps.pcm_sample_bit_depth_luma_minus1 + 1
         bd_c = sps.pcm_sample_bit_depth_chroma_minus1 + 1
 

@@ -705,8 +705,10 @@ struct Decoder {
       }
     for (int j = 0; j < s4; j++) O->vert_edges[(g4y + j) * g4w + g4x] = 1;
     for (int i = 0; i < s4; i++) O->horiz_edges[g4y * g4w + g4x + i] = 1;
-    int64_t pos = eng.bit_pos - 9;
-    pos = (pos + 7) & ~7LL;
+    // at terminate==1 the consumed bit count equals the encoder's full
+    // arithmetic payload (the 9-bit lookahead covers the flush tail), so
+    // byte alignment starts from bit_pos itself (see cabac/syntax.py)
+    int64_t pos = (eng.bit_pos + 7) & ~7LL;
     auto read_bits = [&](int n) {
       uint32_t v = 0;
       for (int k = 0; k < n; k++) {

@@ -143,3 +143,60 @@ def test_fixture_jax_backend_bit_exact(name):
     ):
         diff = np.count_nonzero(np.asarray(mine) != np.asarray(ref))
         assert diff == 0, f"{pname}: {diff} differing samples"
+
+
+class TestPcmFixtures:
+    """Synthesized all-PCM streams (x265 cannot emit PCM): engine flush +
+    byte-aligned raw samples + arithmetic re-init (§7.3.8.7 / §9.3.1).
+
+    This fixture found a real round-2 bug: the PCM alignment position was
+    computed as bit_pos - 9 (a byte early whenever the arithmetic payload
+    was not byte-aligned) in BOTH entropy front ends."""
+
+    @pytest.mark.parametrize("seed,shape", [(42, (64, 64)), (7, (96, 128)),
+                                            (3, (32, 32))])
+    def test_pcm_bit_exact(self, seed, shape):
+        from heif_tpu.utils import hevc_synth
+
+        h, w = shape
+        rng = np.random.default_rng(seed)
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        cb = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        cr = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        stream = hevc_synth.synthesize_pcm_stream(y, cb, cr)
+
+        # synthesized stream is conformant per the independent oracle
+        want = oracle.decode_hevc_annexb(stream)
+        assert np.array_equal(want[0], y)
+        assert np.array_equal(want[1], cb)
+        assert np.array_equal(want[2], cr)
+
+        # our decoder (native entropy when available)
+        got = HeicDecoder.decode_hevc(stream)
+        assert np.array_equal(got["Y"], y)
+        assert np.array_equal(got["Cb"], cb)
+        assert np.array_equal(got["Cr"], cr)
+
+    def test_pcm_python_entropy_twin(self):
+        """Force the pure-Python syntax decoder (oracle twin)."""
+        from heif_tpu.cabac.syntax import TileSyntaxDecoder
+        from heif_tpu.hevc import params
+        from heif_tpu.hevc import slice as sl
+        from heif_tpu.hevc.rbsp import remove_emulation_prevention
+        from heif_tpu.ops.ref_recon import reconstruct_tile
+        from heif_tpu.utils import hevc_synth
+
+        rng = np.random.default_rng(9)
+        y = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+        cb = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        cr = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        stream = hevc_synth.synthesize_pcm_stream(y, cb, cr)
+        nals = sl.split_annexb_nals(stream)
+        sps = params.parse_sps(remove_emulation_prevention(nals[1][2:]))
+        pps = params.parse_pps(remove_emulation_prevention(nals[2][2:]))
+        ps = sl.parse_slice_header(nals[3], sps, pps)
+        st = TileSyntaxDecoder(sps, pps, ps).decode()
+        yy, ycb, ycr = reconstruct_tile(st, sps, pps, ps.header)
+        assert np.array_equal(yy, y)
+        assert np.array_equal(ycb, cb)
+        assert np.array_equal(ycr, cr)
