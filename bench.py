@@ -44,8 +44,30 @@ def baseline_mp_per_s(data, mp):
         return None
 
 
+def _kick_d2h_channel():
+    """Trigger the tunnel's device->host channel setup on a tiny transfer.
+
+    The first D2H in a process pays a one-time channel initialization on
+    the tunneled runtime that has been observed to take minutes under
+    load; paying it on 8 bytes in a daemon thread, concurrent with the
+    warmup compile, keeps it off the measured path.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        np.asarray(jax.device_put(jnp.zeros(8, jnp.uint8)))
+    except Exception:
+        pass
+
+
 def main():
+    import threading
+
     import numpy as np
+
+    threading.Thread(target=_kick_d2h_channel, daemon=True).start()
 
     from heif_tpu.container.reader import HeifReader, parse_grid_config
     from heif_tpu.hevc import params
@@ -117,25 +139,33 @@ def main():
         jax.block_until_ready(outs)
         return time.perf_counter() - t0
 
-    # warmup (jit compile + page-fault warm-in: first-touch faults cost
-    # ~300us/page on these microVM hosts, see utils/hostmem.py)
+    # warmup + measure the DEVICE path first (readback-free): it is the
+    # production serving metric, and it must be captured before any D2H
+    # plane streaming exercises the tunnel. jit compile + page-fault
+    # warm-in (first-touch faults cost ~300us/page on these microVM
+    # hosts, see utils/hostmem.py) all land on the first call.
     import gc
 
     t_w0 = time.perf_counter()
-    (y, cb, cr), _ = decode_once()
+    warm0 = decode_to_device_once()
     warm_s = time.perf_counter() - t_w0
-    mp = (y.shape[0] * y.shape[1]) / 1e6
-    print(f"# warmup (incl. compile): {warm_s:.1f}s", file=sys.stderr)
+    print(f"# device warmup (incl. compile): {warm_s:.1f}s", file=sys.stderr)
+    dev_times = [warm0]
+    for _ in range(4):
+        gc.collect()
+        dev_times.append(decode_to_device_once())
 
-    # adaptive repeat count: the driver gives the whole bench ~10 min and
-    # cold AOT compiles on tunneled hosts can eat most of it — scale the
-    # measured repeats to the per-run cost so the bench always finishes
+    # e2e (with plane readback) second; adaptive repeat count — the
+    # driver gives the whole bench ~10 min and cold AOT compiles on
+    # tunneled hosts can eat most of it
     t0 = time.perf_counter()
-    _, stats0 = decode_once()
+    (y, cb, cr), stats0 = decode_once()
     t1 = time.perf_counter() - t0
+    mp = (y.shape[0] * y.shape[1]) / 1e6
+    print(f"# e2e warm (incl. flatten compile): {t1:.1f}s", file=sys.stderr)
     reps = max(1, min(4, int(45.0 / max(t1, 1e-3))))
-    times = [t1]
-    all_stats = [stats0]
+    times = []
+    all_stats = []
     for _ in range(reps):
         gc.collect()
         t0 = time.perf_counter()
@@ -146,8 +176,6 @@ def main():
     stats = all_stats[times.index(best)]
     print(f"# best {best:.3f}s  {stats.summary()}  ({mp:.1f} MP)", file=sys.stderr)
 
-    dev_reps = max(1, min(3, int(30.0 / max(best, 1e-3))))
-    dev_times = [decode_to_device_once() for _ in range(dev_reps)]
     dev_mp_s = round(mp / min(dev_times), 3)
     print(
         f"# decode-to-device (no host readback): {dev_mp_s} MP/s",

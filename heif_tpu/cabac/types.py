@@ -71,5 +71,21 @@ class SyntaxTensors:
     # Diagnostics
     n_bins: int = 0  # total CABAC bins decoded (perf accounting)
 
+    # Optional native pre-pack (see native.pack_tile_native): device-ready
+    # per-class coefficient blocks + scan-field arrays, produced GIL-free
+    # inside the entropy worker threads. ops.batch.pack_batch consumes it
+    # when present and falls back to the numpy pack otherwise.
+    packed: object = None
+
     def tu_count(self) -> int:
         return 0 if self.tu_table is None else self.tu_table.shape[0]
+
+
+@dataclass
+class PackedTile:
+    """Native per-tile pack output (see native.pack_tile_native)."""
+
+    cls_counts: np.ndarray  # [10] int32, per ops.batch.CLASSES order
+    cls: list               # [(coeffs int16 [k,s,s], meta int32 [4,k])] * 10
+    scans: list             # per comp int32 [6, m]: x,y,size,mode,filter,pcm
+    pad: int

@@ -91,7 +91,23 @@ def _load():
             ctypes.POINTER(_TileParams),
             ctypes.POINTER(_TileOutput),
         ]
-        assert lib.heif_entropy_abi_version() == 1
+        if lib.heif_entropy_abi_version() != 2:
+            # stale binary from an older tree: rebuild in place
+            build(force=True)
+            lib = ctypes.CDLL(_LIB_PATH)
+            assert lib.heif_entropy_abi_version() == 2
+        lib.heif_pack_counts.restype = ctypes.c_int
+        lib.heif_pack_counts.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.heif_pack_tile.restype = ctypes.c_int
+        lib.heif_pack_tile.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     return _lib
 
@@ -136,6 +152,53 @@ def _make_params(sps: g.SequenceParameterSet, pps: g.PictureParameterSet,
         pcm_bd_luma=sps.pcm_sample_bit_depth_luma_minus1 + 1,
         pcm_bd_chroma=sps.pcm_sample_bit_depth_chroma_minus1 + 1,
         bit_depth=sps.bit_depth_y,
+    )
+
+
+# must match heif_tpu.ops.batch.CLASSES
+_CLASSES = [
+    (0, 4), (0, 8), (0, 16), (0, 32),
+    (1, 4), (1, 8), (1, 16),
+    (2, 4), (2, 8), (2, 16),
+]
+
+
+def pack_tile_native(st: T.SyntaxTensors, pad: int) -> None:
+    """Populate st.packed with device-ready per-class blocks and scan
+    fields (C gather at memcpy speed; runs GIL-free inside the per-tile
+    entropy worker threads). Layout contract:
+
+      packed.cls[i]   = (coeffs int16 [k,s,s], meta int32 [4,k]) for
+                        CLASSES[i]; meta rows = qp, skip, bypass,
+                        local flat org (y*(w+pad)+x, no tile term)
+      packed.scans[c] = int32 [6, m] rows x, y, size, mode, filter, pcm
+                        (z-order, all TUs of component c)
+    """
+    lib = _load()
+    tu = np.ascontiguousarray(st.tu_table, dtype=np.int32)
+    n_tu = np.int32(tu.shape[0])
+    cls_counts = np.zeros(10, np.int32)
+    scan_counts = np.zeros(3, np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.heif_pack_counts(vp(tu), n_tu, vp(cls_counts), vp(scan_counts))
+    cls = []
+    for i, (_, s) in enumerate(_CLASSES):
+        k = int(cls_counts[i])
+        cls.append((np.empty((k, s, s), np.int16), np.empty((4, k), np.int32)))
+    scans = [np.empty((6, int(scan_counts[c])), np.int32) for c in range(3)]
+    pp = (ctypes.c_void_p * 3)(*[st.coeffs[c].ctypes.data for c in range(3)])
+    pc = (ctypes.c_void_p * 10)(*[a.ctypes.data for a, _ in cls])
+    pm = (ctypes.c_void_p * 10)(*[m.ctypes.data for _, m in cls])
+    ps = (ctypes.c_void_p * 3)(*[a.ctypes.data for a in scans])
+    lib.heif_pack_tile(
+        vp(tu), n_tu, pp, np.int32(st.width), np.int32(st.height),
+        np.int32(pad), pc, pm, ps, vp(cls_counts), vp(scan_counts),
+    )
+    st.packed = T.PackedTile(
+        cls_counts=cls_counts, cls=cls, scans=scans, pad=pad
     )
 
 
@@ -233,11 +296,22 @@ def decode_tile_native(
 
 
 def decode_tiles_parallel(
-    sps, pps, parsed_list, max_workers: Optional[int] = None
+    sps, pps, parsed_list, max_workers: Optional[int] = None,
+    pack_pad: Optional[int] = None,
 ) -> list:
-    """Entropy-decode many tiles concurrently (GIL released per C call)."""
+    """Entropy-decode many tiles concurrently (GIL released per C call).
+
+    pack_pad: when set, also run the native per-tile pack (device-ready
+    class blocks / scan fields, attached as st.packed) inside the same
+    worker threads; the value is the residual-plane PAD of ops.batch.
+    """
+
+    def one(p):
+        st = decode_tile_native(sps, pps, p)
+        if pack_pad is not None:
+            pack_tile_native(st, pack_pad)
+        return st
+
     workers = max_workers or min(len(parsed_list), os.cpu_count() or 4)
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(
-            ex.map(lambda p: decode_tile_native(sps, pps, p), parsed_list)
-        )
+        return list(ex.map(one, parsed_list))

@@ -1077,6 +1077,100 @@ int heif_entropy_decode_tile(const uint8_t* rbsp, int32_t /*rbsp_len*/,
   return d.decode() ? 0 : 1;
 }
 
-int heif_entropy_abi_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Native per-tile packing: tu_table + coeff planes -> device-ready class
+// blocks and scan-field arrays (the host pack is on the decode critical
+// path on 2-core tunneled hosts; doing the block gathers here keeps them
+// at memcpy speed, GIL-free, inside the per-tile worker threads).
+// Layout contract mirrors heif_tpu/ops/batch.py pack_batch / CLASSES.
+// ---------------------------------------------------------------------------
+
+namespace {
+// CLASSES order: (comp, log2) -> class index 0..9; -1 = not a class
+inline int class_index(int comp, int log2) {
+  if (log2 < 2) return -1;
+  if (comp == 0) return log2 <= 5 ? log2 - 2 : -1;
+  if (log2 > 4) return -1;  // chroma max 16 in 4:2:0
+  return 4 + (comp - 1) * 3 + (log2 - 2);
+}
+
+// intra ref-smoothing threshold by log2 (8.4.4.2.3); size 4 never filters
+inline int filter_flag(int size, int mode, int log2) {
+  if (mode == 1 || size == 4) return 0;
+  if (mode == 0) return 1;
+  int d26 = mode > 26 ? mode - 26 : 26 - mode;
+  int d10 = mode > 10 ? mode - 10 : 10 - mode;
+  int min_dist = d26 < d10 ? d26 : d10;
+  static const int thres[6] = {99, 99, 99, 7, 1, 0};
+  return min_dist > thres[log2];
+}
+}  // namespace
+
+int heif_pack_counts(const int32_t* tu, int32_t n_tu, int32_t* cls_counts,
+                     int32_t* scan_counts) {
+  for (int i = 0; i < 10; i++) cls_counts[i] = 0;
+  for (int c = 0; c < 3; c++) scan_counts[c] = 0;
+  for (int32_t i = 0; i < n_tu; i++) {
+    const int32_t* row = tu + i * TU_FIELDS;
+    scan_counts[row[TU_COMP]]++;
+    if (row[TU_CBF] && !row[TU_PCM]) {
+      int ci = class_index(row[TU_COMP], row[TU_LOG2]);
+      if (ci >= 0) cls_counts[ci]++;
+    }
+  }
+  return 0;
+}
+
+int heif_pack_tile(const int32_t* tu, int32_t n_tu,
+                   const int32_t* const* coeff_planes,  // [3]
+                   int32_t W, int32_t H, int32_t pad,
+                   int16_t* const* cls_coeffs,   // [10] -> [k*s*s]
+                   int32_t* const* cls_meta,     // [10] -> [4*k]: qp,skip,bypass,org rows
+                   int32_t* const* scan_fields,  // [3] -> [6*m]: x,y,size,mode,filter,pcm rows
+                   const int32_t* cls_counts,    // [10] (from heif_pack_counts)
+                   const int32_t* scan_counts) { // [3]
+  (void)H;
+  int32_t ci_pos[10] = {0};
+  int32_t sc_pos[3] = {0};
+  for (int32_t i = 0; i < n_tu; i++) {
+    const int32_t* row = tu + i * TU_FIELDS;
+    int comp = row[TU_COMP];
+    int log2 = row[TU_LOG2];
+    int size = 1 << log2;
+    int x = row[TU_X], y = row[TU_Y];
+    // scan fields
+    {
+      int32_t m = scan_counts[comp];
+      int32_t p = sc_pos[comp]++;
+      int32_t* f = scan_fields[comp];
+      f[0 * m + p] = x;
+      f[1 * m + p] = y;
+      f[2 * m + p] = size;
+      f[3 * m + p] = row[TU_PRED];
+      f[4 * m + p] = comp == 0 ? filter_flag(size, row[TU_PRED], log2) : 0;
+      f[5 * m + p] = row[TU_PCM];
+    }
+    if (!row[TU_CBF] || row[TU_PCM]) continue;
+    int ci = class_index(comp, log2);
+    if (ci < 0) continue;
+    int32_t k = cls_counts[ci];
+    int32_t p = ci_pos[ci]++;
+    int32_t* meta = cls_meta[ci];
+    int cw = comp == 0 ? W : W >> 1;
+    meta[0 * k + p] = row[TU_QP];
+    meta[1 * k + p] = row[TU_SKIP] != 0;
+    meta[2 * k + p] = row[TU_BYPASS] != 0;
+    meta[3 * k + p] = y * (cw + pad) + x;  // local org; caller adds tile term
+    const int32_t* plane = coeff_planes[comp];
+    int16_t* dst = cls_coeffs[ci] + (size_t)p * size * size;
+    for (int r = 0; r < size; r++) {
+      const int32_t* src = plane + (size_t)(y + r) * cw + x;
+      for (int cc = 0; cc < size; cc++) dst[r * size + cc] = (int16_t)src[cc];
+    }
+  }
+  return 0;
+}
+
+int heif_entropy_abi_version() { return 2; }
 
 }  // extern "C"

@@ -74,10 +74,38 @@ class BatchPlan:
     bit_depth_c: int = 8
 
 
+def _scaling_for_sps(sps):
+    """Per-SPS cache of the 12 scaling-factor matrices (they are a pure
+    function of the SPS scaling lists; recomputing them per packed chunk
+    cost more host time than the gathers they feed)."""
+    cache = getattr(sps, "_heif_tpu_scaling_cache", None)
+    if cache is None:
+        from heif_tpu.ops.tables import scaling_factor_matrix
+
+        lists = sps.effective_scaling_lists()
+        cache = {
+            (size, mid): scaling_factor_matrix(size, mid, lists)
+            for size in (4, 8, 16, 32)
+            for mid in range(3)
+        }
+        try:
+            sps._heif_tpu_scaling_cache = cache
+        except Exception:
+            pass
+    return cache
+
+
 def pack_batch(
     syntaxes, sps, pps, slices, n_steps=None, class_caps=None
 ) -> BatchPlan:
     """Pack N tiles (same SPS/PPS geometry) into one BatchPlan.
+
+    Fused columnwise pack: all N tiles' TU tables are concatenated (with
+    a tile column) and every per-class / per-component tensor is built by
+    ONE masked gather over the whole chunk, instead of per-tile packs
+    plus concatenation. On the 2-core tunneled TPU hosts this host pack
+    is on the critical path (device compute is ~1 ms/chunk), so the
+    constant-factor work here directly bounds decode throughput.
 
     n_steps / class_caps: optional shared shape overrides so several
     chunks of one image compile to identical programs (see
@@ -85,115 +113,263 @@ def pack_batch(
     count; padding rows are all-zero (zero coeffs scatter zero residual
     at flat index 0, a no-op).
     """
+    from heif_tpu.cabac import types as T
+    from heif_tpu.ops.pack import _luma_filter_flags_vec
     from heif_tpu.utils.hostmem import tune_allocator
 
     tune_allocator()
-    # shared per-component scan lengths
-    counts = np.stack(
-        [np.bincount(st.tu_table[:, 0], minlength=3) for st in syntaxes]
+    n = len(syntaxes)
+    st0 = syntaxes[0]
+    H, W = st0.height, st0.width
+    Hc, Wc = H // 2, W // 2
+
+    if all(
+        getattr(st, "packed", None) is not None and st.packed.pad == PAD
+        for st in syntaxes
+    ):
+        xs, counts_out, tc = _assemble_packed(
+            syntaxes, n, H, W, n_steps, class_caps
+        )
+        tc_coeffs, tc_qp, tc_dst, tc_skip, tc_bypass, tc_org = tc
+        return _finish_plan(
+            syntaxes, sps, pps, slices, n, H, W,
+            tc_coeffs, tc_qp, tc_dst, tc_skip, tc_bypass, tc_org,
+            xs, counts_out,
+        )
+
+    tts = [st.tu_table for st in syntaxes]
+    lens = np.fromiter((t.shape[0] for t in tts), np.int64, n)
+    tt = np.concatenate(tts)
+    ti = np.repeat(np.arange(n, dtype=np.int32), lens)
+    comp_col = tt[:, T.TU_COMP]
+
+    # per-tile per-component TU counts (scan trip bounds)
+    counts = (
+        np.bincount(ti * 3 + comp_col, minlength=n * 3)
+        .reshape(n, 3)
+        .astype(np.int32)
     )
     if n_steps is None:
         n_steps = [max(1, -(-int(s) // 64) * 64) for s in counts.max(axis=0)]
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    import os
-
-    with ThreadPoolExecutor(
-        max_workers=min(len(syntaxes), os.cpu_count() or 4)
-    ) as ex:
-        plans = list(
-            ex.map(
-                lambda a: P.pack_tile(
-                    a[0], sps, pps, a[1].header, n_steps, with_src=False
-                ),
-                zip(syntaxes, slices),
-            )
+    # ---- per-component pred scans: [n, S] field arrays ----
+    xs = []
+    for c in range(3):
+        mask = comp_col == c
+        rows = tt[mask]
+        rti = ti[mask]
+        cnt_c = counts[:, c].astype(np.int64)
+        S = n_steps[c]
+        assert S >= (int(cnt_c.max()) if n else 0)
+        # rows are tile-major (concat order), z-order within each tile:
+        # position of each row within its tile's scan
+        starts = np.concatenate([[0], np.cumsum(cnt_c)[:-1]])
+        pos = np.arange(rows.shape[0], dtype=np.int64) - np.repeat(
+            starts, cnt_c
         )
-    n = len(plans)
-    H, W = plans[0].height, plans[0].width
-    Hc, Wc = H // 2, W // 2
+        size_v = (1 << rows[:, T.TU_LOG2]).astype(np.int32)
+        fields = []
+        for col, vals in (
+            (T.TU_X, None),
+            (T.TU_Y, None),
+            (None, size_v),
+            (T.TU_PRED_MODE, None),
+            ("filter", None),
+            (T.TU_PCM, None),
+        ):
+            out = np.zeros((n, S), np.int32)
+            if col == "filter":
+                if c == 0 and rows.shape[0]:
+                    out[rti, pos] = _luma_filter_flags_vec(
+                        size_v, rows[:, T.TU_PRED_MODE]
+                    )
+            elif vals is not None:
+                out[rti, pos] = vals
+            else:
+                out[rti, pos] = rows[:, col]
+            fields.append(out)
+        xs.append(tuple(fields))
+    counts_out = [counts[:, c].copy() for c in range(3)]
 
+    # ---- transform classes: one gather per (comp, size) over the chunk ----
+    cbf_mask = (tt[:, T.TU_CBF] != 0) & (tt[:, T.TU_PCM] == 0)
     tc_coeffs, tc_qp, tc_dst, tc_skip, tc_bypass, tc_org = (
         {}, {}, {}, {}, {}, {},
     )
     for comp, size in CLASSES:
-        blocks, qps, dsts, skips, byps, orgs = [], [], [], [], [], []
+        log2 = size.bit_length() - 1
+        mask = cbf_mask & (comp_col == comp) & (tt[:, T.TU_LOG2] == log2)
+        k = int(mask.sum())
+        cap = None if class_caps is None else class_caps.get((comp, size), 0)
+        if not k and not cap:
+            continue
+        key = (comp, size)
+        total = k if cap is None else cap
+        assert k <= total, f"class {key}: {k} > cap {cap}"
         h = H if comp == 0 else Hc
         w = W if comp == 0 else Wc
         stride = (h + PAD) * (w + PAD)
-        for ti, plan in enumerate(plans):
-            for tc in plan.tclasses:
-                if tc.comp == comp and tc.size == size:
-                    blocks.append(tc.coeffs)
-                    qps.append(tc.qp)
-                    dsts.append(tc.dst)
-                    skips.append(tc.skip)
-                    byps.append(tc.bypass)
-                    oy = tc.pos[:, 0].astype(np.int32)
-                    ox = tc.pos[:, 1].astype(np.int32)
-                    orgs.append(
-                        np.int32(ti * stride) + oy * np.int32(w + PAD) + ox
-                    )
-        cap = None if class_caps is None else class_caps.get((comp, size), 0)
-        if blocks or cap:
-            k = (comp, size)
-            tc_coeffs[k] = (
-                np.concatenate(blocks)
-                if blocks
-                else np.zeros((0, size, size), np.int16)
+        coeffs = np.zeros((total, size, size), np.int16)
+        qp = np.zeros(total, np.int32)
+        dst = np.full(total, comp == 0 and size == 4, dtype=bool)
+        skip = np.zeros(total, bool)
+        byp = np.zeros(total, bool)
+        org = np.full(total, -1, np.int32)
+        if k:
+            rows = tt[mask]
+            rti = ti[mask]
+            ys = rows[:, T.TU_Y]
+            xs_ = rows[:, T.TU_X]
+            # gather blocks per tile from the ORIGINAL coeff planes (a
+            # [n, h, w] stacked copy would be ~160 MB of fresh pages per
+            # 48-tile batch; first-touch page faults on these microVM
+            # hosts at ~300 us/page cost seconds). HEVC transform blocks
+            # are size-aligned in the quadtree, so a strided block view
+            # turns the gather into contiguous (size, size) row copies —
+            # ~2.5x faster than 3-D fancy indexing
+            from numpy.lib.stride_tricks import as_strided
+
+            by = ys >> log2
+            bx = xs_ >> log2
+            bounds = np.searchsorted(rti, np.arange(n + 1, dtype=np.int32))
+            for t in range(n):
+                lo, hi = bounds[t], bounds[t + 1]
+                if lo == hi:
+                    continue
+                pl = syntaxes[t].coeffs[comp]
+                hh, ww = pl.shape
+                r0, e0 = pl.strides
+                bv = as_strided(
+                    pl,
+                    (hh // size, ww // size, size, size),
+                    (size * r0, size * e0, r0, e0),
+                )
+                np.copyto(
+                    coeffs[lo:hi], bv[by[lo:hi], bx[lo:hi]], casting="unsafe"
+                )
+            qp[:k] = rows[:, T.TU_QP]
+            skip[:k] = rows[:, T.TU_SKIP] != 0
+            byp[:k] = rows[:, T.TU_BYPASS] != 0
+            org[:k] = (
+                rti * np.int32(stride)
+                + ys.astype(np.int32) * np.int32(w + PAD)
+                + xs_.astype(np.int32)
             )
-            tc_qp[k] = np.concatenate(qps) if qps else np.zeros(0, np.int32)
-            tc_dst[k] = np.concatenate(dsts) if dsts else np.zeros(0, bool)
-            tc_skip[k] = np.concatenate(skips) if skips else np.zeros(0, bool)
-            tc_bypass[k] = np.concatenate(byps) if byps else np.zeros(0, bool)
-            tc_org[k] = (
-                np.concatenate(orgs) if orgs else np.zeros(0, np.int32)
-            )
-            if cap is not None:
-                have = tc_coeffs[k].shape[0]
-                assert have <= cap, f"class {k}: {have} > cap {cap}"
-                padn = cap - have
-                if padn:
-                    tc_coeffs[k] = np.concatenate(
-                        [tc_coeffs[k], np.zeros((padn, size, size), np.int16)]
-                    )
-                    tc_qp[k] = np.concatenate([tc_qp[k], np.zeros(padn, np.int32)])
-                    tc_dst[k] = np.concatenate([tc_dst[k], np.zeros(padn, bool)])
-                    tc_skip[k] = np.concatenate([tc_skip[k], np.zeros(padn, bool)])
-                    tc_bypass[k] = np.concatenate(
-                        [tc_bypass[k], np.zeros(padn, bool)]
-                    )
-                    # -1 routes cap-padding blocks to the dummy scatter slot
-                    tc_org[k] = np.concatenate(
-                        [tc_org[k], np.full(padn, -1, np.int32)]
-                    )
+        tc_coeffs[key] = coeffs
+        tc_qp[key] = qp
+        tc_dst[key] = dst
+        tc_skip[key] = skip
+        tc_bypass[key] = byp
+        tc_org[key] = org
+
+    return _finish_plan(
+        syntaxes, sps, pps, slices, n, H, W,
+        tc_coeffs, tc_qp, tc_dst, tc_skip, tc_bypass, tc_org,
+        xs, counts_out,
+    )
+
+
+def _assemble_packed(syntaxes, n, H, W, n_steps, class_caps):
+    """Assemble the BatchPlan tensors from native per-tile packs
+    (st.packed, see native.pack_tile_native): pure segment memcpys, no
+    per-TU work on this (GIL-holding) thread."""
+    Hc, Wc = H // 2, W // 2
+    packs = [st.packed for st in syntaxes]
+    counts = np.empty((n, 3), np.int32)
+    for i, p in enumerate(packs):
+        for c in range(3):
+            counts[i, c] = p.scans[c].shape[1]
+    if n_steps is None:
+        n_steps = [max(1, -(-int(s) // 64) * 64) for s in counts.max(axis=0)]
 
     xs = []
-    counts = []
     for c in range(3):
-        fields = []
-        for name in ("x", "y", "size", "mode", "filter_flag", "pcm"):
-            fields.append(np.stack([getattr(p.comp_plans[c], name) for p in plans]))
+        S = n_steps[c]
+        fields = [np.zeros((n, S), np.int32) for _ in range(6)]
+        for i, p in enumerate(packs):
+            sc = p.scans[c]
+            m = sc.shape[1]
+            assert m <= S
+            for f in range(6):
+                fields[f][i, :m] = sc[f]
         xs.append(tuple(fields))
-        counts.append(
-            np.asarray([p.comp_plans[c].n_real for p in plans], np.int32)
-        )
+    counts_out = [counts[:, c].copy() for c in range(3)]
 
+    tc_coeffs, tc_qp, tc_dst, tc_skip, tc_bypass, tc_org = (
+        {}, {}, {}, {}, {}, {},
+    )
+    for ci, (comp, size) in enumerate(CLASSES):
+        ks = [int(p.cls_counts[ci]) for p in packs]
+        k = sum(ks)
+        cap = None if class_caps is None else class_caps.get((comp, size), 0)
+        if not k and not cap:
+            continue
+        key = (comp, size)
+        total = k if cap is None else cap
+        assert k <= total, f"class {key}: {k} > cap {cap}"
+        h = H if comp == 0 else Hc
+        w = W if comp == 0 else Wc
+        stride = (h + PAD) * (w + PAD)
+        coeffs = np.zeros((total, size, size), np.int16)
+        qp = np.zeros(total, np.int32)
+        dst = np.full(total, comp == 0 and size == 4, dtype=bool)
+        skip = np.zeros(total, bool)
+        byp = np.zeros(total, bool)
+        org = np.full(total, -1, np.int32)
+        lo = 0
+        for i, p in enumerate(packs):
+            ki = ks[i]
+            if not ki:
+                continue
+            blocks, meta = p.cls[ci]
+            hi = lo + ki
+            coeffs[lo:hi] = blocks
+            qp[lo:hi] = meta[0]
+            skip[lo:hi] = meta[1]
+            byp[lo:hi] = meta[2]
+            np.add(meta[3], np.int32(i * stride), out=org[lo:hi])
+            lo = hi
+        tc_coeffs[key] = coeffs
+        tc_qp[key] = qp
+        tc_dst[key] = dst
+        tc_skip[key] = skip
+        tc_bypass[key] = byp
+        tc_org[key] = org
+    return (
+        xs,
+        counts_out,
+        (tc_coeffs, tc_qp, tc_dst, tc_skip, tc_bypass, tc_org),
+    )
+
+
+def _finish_plan(
+    syntaxes, sps, pps, slices, n, H, W,
+    tc_coeffs, tc_qp, tc_dst, tc_skip, tc_bypass, tc_org,
+    xs, counts_out,
+):
+    Hc, Wc = H // 2, W // 2
+    # ---- PCM sample planes ----
+    any_pcm = any(
+        st.pcm_planes and st.pcm_planes[0].any() for st in syntaxes
+    )
     pcm = []
-    any_pcm = any(p.pcm_planes and p.pcm_planes[0].any() for p in plans)
     for c in range(3):
         h = H if c == 0 else Hc
         w = W if c == 0 else Wc
         if any_pcm:
             arr = np.zeros((n, h + PAD, w + PAD), dtype=np.int32)
-            for i, p in enumerate(plans):
-                arr[i, :h, :w] = p.pcm_planes[c]
+            for i, st in enumerate(syntaxes):
+                arr[i, :h, :w] = st.pcm_planes[c]
             pcm.append(arr)
         else:
             pcm.append(None)
 
-    p0 = plans[0]
+    # ---- loop-filter metadata ----
+    nf_map = np.stack([st.bypass_map for st in syntaxes]).copy()
+    if sps.pcm_enabled_flag and sps.pcm_loop_filter_disabled_flag:
+        nf_map |= np.stack([st.pcm_map for st in syntaxes])
+
+    sh = slices[0].header
     return BatchPlan(
         n=n,
         width=W,
@@ -204,27 +380,28 @@ def pack_batch(
         tc_skip=tc_skip,
         tc_bypass=tc_bypass,
         tc_org=tc_org,
-        scaling=p0.scaling,
+        scaling=_scaling_for_sps(sps),
         xs=xs,
-        counts=counts,
+        counts=counts_out,
         pcm=pcm,
-        qp_map=np.stack([p.qp_map for p in plans]),
-        nf_map=np.stack([p.nf_map for p in plans]),
-        vert_edges=np.stack([p.vert_edges for p in plans]),
-        horiz_edges=np.stack([p.horiz_edges for p in plans]),
-        sao=np.stack([p.sao for p in plans]).astype(np.int32),
+        qp_map=np.stack([st.qp_y for st in syntaxes]).astype(np.int32),
+        nf_map=nf_map,
+        vert_edges=np.stack([st.vert_edges for st in syntaxes]),
+        horiz_edges=np.stack([st.horiz_edges for st in syntaxes]),
+        sao=np.stack([st.sao for st in syntaxes]).astype(np.int32),
         ctb_log2=sps.ctb_log2_size_y,
-        deblock_disabled=p0.deblock_disabled,
-        sao_luma=p0.sao_luma,
-        sao_chroma=p0.sao_chroma,
-        beta_off=p0.beta_off,
-        tc_off=p0.tc_off,
-        cb_qp_off=p0.cb_qp_off,
-        cr_qp_off=p0.cr_qp_off,
+        deblock_disabled=sh.slice_deblocking_filter_disabled_flag,
+        sao_luma=sh.slice_sao_luma_flag,
+        sao_chroma=sh.slice_sao_chroma_flag,
+        beta_off=sh.slice_beta_offset_div2 * 2,
+        tc_off=sh.slice_tc_offset_div2 * 2,
+        cb_qp_off=pps.pps_cb_qp_offset,
+        cr_qp_off=pps.pps_cr_qp_offset,
         strong_smoothing=bool(sps.strong_intra_smoothing_enabled_flag),
         bit_depth_y=sps.bit_depth_y,
         bit_depth_c=sps.bit_depth_c,
     )
+
 
 
 # --------------------------------------------------------------------------
@@ -655,17 +832,27 @@ def _merge_sticky(key, n_steps, caps):
     return n_steps, caps
 
 
+@jax.jit
+def _flatten_jit(y, cb, cr):
+    """Concatenate decoded planes into one linear buffer for D2H."""
+    return jnp.concatenate(
+        [y.reshape(-1), cb.reshape(-1), cr.reshape(-1)]
+    )
+
+
 def decode_reconstruct_overlapped(
-    sps, pps, slices, entropy_fn=None, chunk: int = 8, readback: bool = True
+    sps, pps, slices, entropy_fn=None, chunk: int | None = None,
+    readback: bool = True,
 ) -> list:
     """Full tile decode with host entropy overlapped against device compute.
 
     Entropy (C++ CABAC, threaded) for chunk k+1 runs on a background
     thread while chunk k is packed and dispatched to the TPU; plane
-    readback is async and overlaps everything after the first chunk. On
-    tunneled TPU hosts the device->host link (~25 MB/s) dominates, so the
-    critical path is first-chunk-latency + total plane readback — chunk=8
-    starts the readback stream early without multiplying compiled shapes.
+    readback is async and overlaps everything after the first chunk.
+    chunk=None picks a default: for the decode-to-device path one chunk
+    for up to 64 tiles (per-dispatch RPC overhead on tunneled hosts beats
+    any overlap gain); with readback, 16-tile chunks so the D2H plane
+    stream starts while later chunks are still decoding.
     Returns [Y, Cb, Cr] stacked numpy planes for all N tiles; with
     readback=False, returns the per-chunk device arrays instead
     (list of [y, cb, cr] jax arrays — the decode-to-device serving path).
@@ -676,7 +863,12 @@ def decode_reconstruct_overlapped(
 
     if entropy_fn is None:
         if native.available():
-            entropy_fn = lambda ps: native.decode_tiles_parallel(sps, pps, ps)
+            # pack_pad=PAD: the native path also pre-packs each tile
+            # (class blocks + scan fields) inside the entropy worker
+            # threads, so pack_batch reduces to segment memcpys
+            entropy_fn = lambda ps: native.decode_tiles_parallel(
+                sps, pps, ps, pack_pad=PAD
+            )
         else:
             from heif_tpu.cabac.syntax import TileSyntaxDecoder
 
@@ -684,6 +876,12 @@ def decode_reconstruct_overlapped(
                 TileSyntaxDecoder(sps, pps, p).decode() for p in ps
             ]
     n = len(slices)
+    if chunk is None:
+        # one shared default for both the readback and decode-to-device
+        # paths: a single compiled program shape per geometry (cold AOT
+        # compiles on the tunneled compile service cost 1-10 minutes, so
+        # one extra program shape dwarfs any overlap tuning win)
+        chunk = 16
     chunks = [slices[lo : lo + chunk] for lo in range(0, n, chunk)]
     key = (
         sps.pic_width_in_luma_samples,
@@ -730,15 +928,34 @@ def decode_reconstruct_overlapped(
             )
             planes = _dispatch_core(bp)
             if readback:
-                for p in planes:
-                    p.copy_to_host_async()
-            outs.append(planes)
+                # flatten the three planes into ONE contiguous 1-D device
+                # buffer before D2H: per-plane transfers of tiled-layout
+                # arrays trigger a separate (slow-to-compile) transfer
+                # program per plane shape on the tunneled runtime and
+                # degrade subsequent dispatches; a linear buffer is a
+                # plain memcpy-shaped stream
+                flat = _flatten_jit(*planes)
+                flat.copy_to_host_async()
+                outs.append((flat, [p.shape for p in planes]))
+            else:
+                outs.append(planes)
     finally:
         ex.shutdown(wait=False, cancel_futures=True)
     if not readback:
         return outs
+    per_chunk = []
+    for flat, shapes in outs:
+        buf = np.asarray(flat)
+        sizes = [int(np.prod(s)) for s in shapes]
+        off = np.cumsum([0] + sizes)
+        per_chunk.append(
+            [
+                buf[off[c] : off[c + 1]].reshape(shapes[c])
+                for c in range(3)
+            ]
+        )
     return [
-        np.concatenate([np.asarray(o[c]) for o in outs], axis=0)[:n]
+        np.concatenate([o[c] for o in per_chunk], axis=0)[:n]
         for c in range(3)
     ]
 
