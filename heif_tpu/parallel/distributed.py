@@ -23,7 +23,10 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax
 
-from heif_tpu.parallel.pipeline import decode_grid_sharded, make_mesh
+from heif_tpu.parallel.pipeline import (
+    decode_grid_sharded_streamed,
+    make_mesh,
+)
 
 
 def init_distributed(
@@ -124,8 +127,6 @@ def decode_burst_sharded(
     from heif_tpu.hevc import params
     from heif_tpu.hevc import slice as sl
     from heif_tpu.hevc.rbsp import remove_emulation_prevention
-    from heif_tpu import native
-    from heif_tpu.cabac.syntax import TileSyntaxDecoder
 
     mesh = mesh or make_global_mesh()
     res = BurstResult(
@@ -153,19 +154,19 @@ def decode_burst_sharded(
             )
             for t in tile_ids
         ]
-        if native.available():
-            syn = native.decode_tiles_parallel(sps, pps, slices)
-        else:
-            syn = [TileSyntaxDecoder(sps, pps, ps).decode() for ps in slices]
-        parsed.append((sps, pps, grid, slices, syn))
+        parsed.append((sps, pps, grid, slices))
 
     outs = []
     t0 = time.perf_counter()
     for _ in range(repeats):
         outs = []
-        for sps, pps, grid, slices, syn in parsed:
+        for sps, pps, grid, slices in parsed:
             ti0 = time.perf_counter()
-            y, cb, cr = decode_grid_sharded(syn, sps, pps, slices, mesh=mesh)
+            # per-chunk streamed decode: host entropy overlaps the
+            # sharded device compute, no whole-image uniform pack
+            y, cb, cr = decode_grid_sharded_streamed(
+                sps, pps, slices, mesh=mesh
+            )
             res.per_image_s.append(time.perf_counter() - ti0)
             th = sps.pic_height_in_luma_samples
             tw = sps.pic_width_in_luma_samples

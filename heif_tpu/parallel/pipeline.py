@@ -42,9 +42,15 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 # --------------------------------------------------------------------------
 
 
-def pack_uniform(syntaxes, sps, pps, slices, n_tiles_pad: int | None = None):
+def pack_uniform(
+    syntaxes, sps, pps, slices, n_tiles_pad: int | None = None,
+    n_steps: list | None = None, class_maxc: dict | None = None,
+):
     """Pack N tiles with identical per-tile shapes.
 
+    n_steps / class_maxc: optional shared shape overrides so several
+    chunks of a streamed decode hit one compiled program (see
+    decode_grid_sharded_streamed).
     Returns (arrays: dict of numpy arrays with leading tile axis, static:
     dict of python scalars/flags).
     """
@@ -52,7 +58,10 @@ def pack_uniform(syntaxes, sps, pps, slices, n_tiles_pad: int | None = None):
     for i, st in enumerate(syntaxes):
         for row in st.tu_table:
             counts[i][int(row[0])] += 1
-    n_steps = [max(1, -(-max(c[k] for c in counts) // 64) * 64) for k in range(3)]
+    if n_steps is None:
+        n_steps = [
+            max(1, -(-max(c[k] for c in counts) // 64) * 64) for k in range(3)
+        ]
     plans = [
         P.pack_tile(st, pps_sps[0], pps_sps[1], ps.header, n_steps=n_steps)
         for st, ps, pps_sps in zip(
@@ -80,6 +89,10 @@ def pack_uniform(syntaxes, sps, pps, slices, n_tiles_pad: int | None = None):
             if found is not None:
                 maxc = max(maxc, found.n)
         maxc = -(-maxc // 16) * 16
+        if class_maxc is not None:
+            cap = class_maxc.get((comp, size), maxc)
+            assert cap >= maxc, f"class ({comp},{size}): {maxc} > cap {cap}"
+            maxc = cap
         cs = np.zeros((n, maxc, size, size), dtype=np.int32)
         qp = np.zeros((n, maxc), dtype=np.int32)
         dst = np.zeros((n, maxc), dtype=bool)
@@ -308,6 +321,12 @@ def _shard_core(arrays, static):
 # --------------------------------------------------------------------------
 
 
+# jitted shard_map programs keyed by (mesh geometry, gather flag, static
+# scalars, array shapes): shard_map closures are fresh objects per call,
+# so without this cache every invocation would recompile
+_sharded_jit_cache: dict = {}
+
+
 def reconstruct_sharded(arrays, static, mesh: Mesh, gather: bool = True):
     """Run the tile decode sharded over mesh axis 'tiles'.
 
@@ -317,29 +336,161 @@ def reconstruct_sharded(arrays, static, mesh: Mesh, gather: bool = True):
     """
     from jax import shard_map
 
-    def body(arrs):
-        y, cb, cr = _shard_core(arrs, static)
-        if gather:
-            y = jax.lax.all_gather(y, "tiles", axis=0, tiled=True)
-            cb = jax.lax.all_gather(cb, "tiles", axis=0, tiled=True)
-            cr = jax.lax.all_gather(cr, "tiles", axis=0, tiled=True)
-        return y, cb, cr
-
-    in_specs = jax.tree.map(lambda _: PS("tiles"), arrays)
-    out_spec = PS() if gather else PS("tiles")
-    fn = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(in_specs,),
-        out_specs=(out_spec, out_spec, out_spec),
-        # gather=True: lax.all_gather(tiled=True) makes every device hold
-        # identical full plane stacks, but the varying-manual-axis checker
-        # cannot statically infer replication through tiled all_gather, so
-        # the check is disabled for that variant only. gather=False outputs
-        # stay tile-sharded and are fully checked.
-        check_vma=not gather,
+    key = (
+        tuple(mesh.shape.items()),
+        tuple(id(d) for d in mesh.devices.flat),
+        gather,
+        tuple(
+            sorted(
+                (k, v)
+                for k, v in static.items()
+                if isinstance(v, (int, bool, float, str))
+            )
+        ),
+        # scaling matrices are baked into the program as constants
+        tuple(
+            (k, hash(v.tobytes()))
+            for k, v in sorted(static.get("scaling", {}).items())
+        ),
+        tuple(sorted((k, v.shape, str(v.dtype)) for k, v in arrays.items())),
     )
-    return jax.jit(fn)(arrays)
+    fn = _sharded_jit_cache.get(key)
+    if fn is None:
+
+        def body(arrs):
+            y, cb, cr = _shard_core(arrs, static)
+            if gather:
+                y = jax.lax.all_gather(y, "tiles", axis=0, tiled=True)
+                cb = jax.lax.all_gather(cb, "tiles", axis=0, tiled=True)
+                cr = jax.lax.all_gather(cr, "tiles", axis=0, tiled=True)
+            return y, cb, cr
+
+        in_specs = jax.tree.map(lambda _: PS("tiles"), arrays)
+        out_spec = PS() if gather else PS("tiles")
+        fn = jax.jit(
+            shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(in_specs,),
+                out_specs=(out_spec, out_spec, out_spec),
+                # gather=True: lax.all_gather(tiled=True) makes every
+                # device hold identical full plane stacks, but the
+                # varying-manual-axis checker cannot statically infer
+                # replication through tiled all_gather, so the check is
+                # disabled for that variant only. gather=False outputs
+                # stay tile-sharded and are fully checked.
+                check_vma=not gather,
+            )
+        )
+        if len(_sharded_jit_cache) > 32:
+            _sharded_jit_cache.pop(next(iter(_sharded_jit_cache)))
+        _sharded_jit_cache[key] = fn
+    return fn(arrays)
+
+
+def _uniform_shapes(syntaxes):
+    """Shared (n_steps, class_maxc) over a tile list so every chunk of a
+    streamed decode compiles to one program shape."""
+    n_steps = [1, 1, 1]
+    class_maxc: dict = {}
+    for st in syntaxes:
+        tt = st.tu_table
+        comp = tt[:, 0]
+        for c in range(3):
+            n_steps[c] = max(n_steps[c], int((comp == c).sum()))
+        live = (tt[:, 4] != 0) & (tt[:, 10] == 0)
+        for comp_i, size in CLASSES:
+            log2 = size.bit_length() - 1
+            k = int((live & (comp == comp_i) & (tt[:, 3] == log2)).sum())
+            key = (comp_i, size)
+            class_maxc[key] = max(class_maxc.get(key, 1), k)
+    n_steps = [max(1, -(-s // 64) * 64) for s in n_steps]
+    class_maxc = {k: -(-v // 16) * 16 for k, v in class_maxc.items()}
+    return n_steps, class_maxc
+
+
+# sticky per-geometry shapes for the streamed sharded path (same doctrine
+# as ops.batch._sticky_shapes: grow monotonically so chunks and repeat
+# decodes of one geometry converge on a single compiled program)
+_sticky_uniform: dict = {}
+
+
+def decode_grid_sharded_streamed(
+    sps, pps, slices, mesh: Mesh | None = None, chunk: int | None = None,
+    entropy_fn=None,
+):
+    """Production-shape sharded decode: the grid is processed in
+    device-multiple chunks, host entropy (C++ CABAC, threaded) for chunk
+    k+1 overlaps the sharded device compute of chunk k, and all chunks
+    share one compiled shard_map program (sticky shapes). This replaces
+    the full-grid uniform pack of decode_grid_sharded for large images —
+    no whole-image host-memory spike, and the mesh never idles behind
+    entropy. Returns [Y, Cb, Cr] stacked numpy planes for all N tiles.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from heif_tpu import native
+
+    mesh = mesh or make_mesh()
+    d = int(mesh.devices.size)
+    n = len(slices)
+    if entropy_fn is None:
+        if native.available():
+            entropy_fn = lambda ps: native.decode_tiles_parallel(sps, pps, ps)
+        else:
+            from heif_tpu.cabac.syntax import TileSyntaxDecoder
+
+            entropy_fn = lambda ps: [
+                TileSyntaxDecoder(sps, pps, p).decode() for p in ps
+            ]
+    if chunk is None:
+        chunk = 2 * d  # two waves of tiles per device per dispatch
+    chunk = max(d, -(-chunk // d) * d)
+    chunks = [slices[lo : lo + chunk] for lo in range(0, n, chunk)]
+    key = (
+        sps.pic_width_in_luma_samples,
+        sps.pic_height_in_luma_samples,
+        sps.ctb_log2_size_y,
+        d,
+        min(chunk, -(-n // d) * d),
+    )
+    outs = []
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        futs = [ex.submit(entropy_fn, c) for c in chunks]
+        if key not in _sticky_uniform and len(chunks) > 1:
+            # cold geometry: derive ONE program shape from all chunks up
+            # front (forfeits entropy/compute overlap this image only)
+            all_syn = [s for fut in futs for s in fut.result()]
+            _sticky_uniform[key] = _uniform_shapes(all_syn)
+        for fi, fut in enumerate(futs):
+            syn = list(fut.result())
+            sl_chunk = list(chunks[fi])
+            n_pad = -(-len(syn) // d) * d if len(chunks) == 1 else chunk
+            n_steps, maxc = _uniform_shapes(syn)
+            if key in _sticky_uniform:
+                pn, pm = _sticky_uniform[key]
+                n_steps = [max(a, b) for a, b in zip(n_steps, pn)]
+                for k2, v in pm.items():
+                    maxc[k2] = max(maxc.get(k2, 1), v)
+            _sticky_uniform[key] = (n_steps, dict(maxc))
+            arrays, static = pack_uniform(
+                syn, sps, pps, sl_chunk, n_tiles_pad=n_pad,
+                n_steps=n_steps, class_maxc=maxc,
+            )
+            arrays = {k2: jnp.asarray(v) for k2, v in arrays.items()}
+            y, cb, cr = reconstruct_sharded(
+                arrays, static, mesh, gather=False
+            )
+            outs.append((y, cb, cr, len(syn)))
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
+    return [
+        np.concatenate(
+            [np.asarray(o[c])[: o[3]] for o in outs], axis=0
+        )
+        for c in range(3)
+    ]
 
 
 def decode_grid_sharded(syntaxes, sps, pps, slices, mesh: Mesh | None = None):

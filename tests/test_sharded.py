@@ -102,3 +102,42 @@ def test_sharded_decode_full_grid_bit_exact(halfmoonbay_bytes):
     mesh = make_mesh(8)
     planes = decode_grid_sharded(syn, sps, pps, slices, mesh=mesh)
     _check(planes, _oracle_tiles(halfmoonbay_bytes, 48))
+
+
+def test_sharded_streamed_decode_bit_exact(halfmoonbay_bytes):
+    """Streamed (chunked, entropy-overlapped) sharded decode: 32 tiles in
+    16-tile chunks over the 8-device mesh, bit-exact vs the oracle and
+    one compiled program across chunks."""
+    import jax
+
+    from heif_tpu.parallel.pipeline import (
+        decode_grid_sharded_streamed,
+        make_mesh,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    sps, pps, slices, _syn = _setup(halfmoonbay_bytes, 32)
+    mesh = make_mesh(8)
+    planes = decode_grid_sharded_streamed(sps, pps, slices, mesh=mesh)
+    _check(planes, _oracle_tiles(halfmoonbay_bytes, 32))
+
+
+def test_sharded_streamed_uneven_tail(halfmoonbay_bytes):
+    """Streamed sharded decode where the last chunk is partial (20 tiles,
+    chunk 16): the tail chunk pads to the shared shape and the padding is
+    dropped from the output."""
+    import jax
+
+    from heif_tpu.parallel.pipeline import (
+        decode_grid_sharded_streamed,
+        make_mesh,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    sps, pps, slices, _syn = _setup(halfmoonbay_bytes, 20)
+    mesh = make_mesh(8)
+    planes = decode_grid_sharded_streamed(sps, pps, slices, mesh=mesh)
+    assert planes[0].shape[0] == 20
+    _check(planes, _oracle_tiles(halfmoonbay_bytes, 20))
