@@ -67,7 +67,8 @@ def main():
 
     import numpy as np
 
-    threading.Thread(target=_kick_d2h_channel, daemon=True).start()
+    kicker = threading.Thread(target=_kick_d2h_channel, daemon=True)
+    kicker.start()
 
     from heif_tpu.container.reader import HeifReader, parse_grid_config
     from heif_tpu.hevc import params
@@ -150,6 +151,10 @@ def main():
     warm0 = decode_to_device_once()
     warm_s = time.perf_counter() - t_w0
     print(f"# device warmup (incl. compile): {warm_s:.1f}s", file=sys.stderr)
+    # the D2H channel kicker must be done before timing: its (possibly
+    # minutes-long) channel init serializes the tunnel client while in
+    # flight
+    kicker.join(timeout=300.0)
     # time-boxed repeats, min-of-N: per-rep cost swings 3-5x with tunnel
     # load, so more samples materially improve the captured best case
     dev_times = [warm0]

@@ -20,6 +20,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from heif_tpu.ops import jax_recon as J
 from heif_tpu.ops import pack as P
@@ -665,6 +666,147 @@ def _pallas_ok(bp: BatchPlan) -> bool:
         return False
 
 
+def _bundle_plan(bp: BatchPlan):
+    """Flatten the whole BatchPlan into three dtype-homogeneous blobs.
+
+    The tunneled runtime pays a per-transfer RPC on every host->device
+    array; a plan is ~46 arrays per chunk, and under host load those
+    RPCs (not bandwidth) dominate dispatch. Three blobs (int16 coeffs,
+    int32 metadata, uint8 flags) plus an optional PCM blob cut the
+    transfer count ~15x; the jitted wrapper re-slices them with static
+    offsets (free under XLA fusion).
+
+    Returns (b16, b32, b8, pcm_blob_or_None, layout) with `layout`
+    hashable (it is a static jit argument).
+    """
+    keys = tuple(sorted(bp.tc_coeffs.keys()))
+    cls_layout = tuple(
+        (k[0], k[1], int(bp.tc_coeffs[k].shape[0])) for k in keys
+    )
+    b16, b32, b8 = [], [], []
+    for k in keys:
+        b16.append(bp.tc_coeffs[k].reshape(-1))
+        b32.append(bp.tc_qp[k])
+        b32.append(bp.tc_org[k])
+        b8.append(bp.tc_dst[k].view(np.uint8))
+        b8.append(bp.tc_skip[k].view(np.uint8))
+        b8.append(bp.tc_bypass[k].view(np.uint8))
+    ns = tuple(int(bp.xs[c][0].shape[1]) for c in range(3))
+    for c in range(3):
+        for f in range(6):
+            b32.append(bp.xs[c][f].reshape(-1))
+        b32.append(bp.counts[c])
+    b32.append(bp.qp_map.reshape(-1))
+    b32.append(np.ascontiguousarray(bp.sao).reshape(-1))
+    b8.append(bp.nf_map.view(np.uint8).reshape(-1))
+    b8.append(bp.vert_edges.view(np.uint8).reshape(-1))
+    b8.append(bp.horiz_edges.view(np.uint8).reshape(-1))
+    skeys = tuple(sorted(bp.scaling.keys()))
+    for sk in skeys:
+        b32.append(bp.scaling[sk].astype(np.int32, copy=False).reshape(-1))
+    pcm_blob = None
+    if any(p is not None for p in bp.pcm):
+        pcm_blob = np.concatenate([p.reshape(-1) for p in bp.pcm])
+    layout = (cls_layout, ns, bp.qp_map.shape, bp.sao.shape, skeys,
+              pcm_blob is not None)
+    return (
+        np.concatenate(b16) if b16 else np.zeros(0, np.int16),
+        np.concatenate(b32),
+        np.concatenate(b8),
+        pcm_blob,
+        layout,
+    )
+
+
+def _core_blobs(
+    b16, b32, b8, pcm_blob, *, layout, n, H, W, ctb_log2,
+    deblock_disabled, sao_luma, sao_chroma, beta_off, tc_off,
+    cb_qp_off, cr_qp_off, strong_smoothing, use_pallas, bd_y, bd_c,
+):
+    """Unbundle the three plan blobs (static offsets) and run _core."""
+    cls_layout, ns, qp_shape, sao_shape, skeys, has_pcm = layout
+    Hc, Wc = H // 2, W // 2
+    o16 = o32 = o8 = 0
+
+    def take16(m):
+        nonlocal o16
+        out = lax.slice(b16, (o16,), (o16 + m,))
+        o16 += m
+        return out
+
+    def take32(m):
+        nonlocal o32
+        out = lax.slice(b32, (o32,), (o32 + m,))
+        o32 += m
+        return out
+
+    def take8(m):
+        nonlocal o8
+        out = lax.slice(b8, (o8,), (o8 + m,))
+        o8 += m
+        return out
+
+    tc_arrays = {}
+    metas = []
+    for comp, size, total in cls_layout:
+        coeffs = take16(total * size * size).reshape(total, size, size)
+        metas.append(coeffs)
+    for i, (comp, size, total) in enumerate(cls_layout):
+        qp = take32(total)
+        org = take32(total)
+        dst = take8(total).astype(jnp.bool_)
+        skip = take8(total).astype(jnp.bool_)
+        byp = take8(total).astype(jnp.bool_)
+        tc_arrays[(comp, size)] = (metas[i], qp, dst, skip, byp, org)
+    xs = []
+    counts = []
+    for c in range(3):
+        fields = tuple(
+            take32(n * ns[c]).reshape(n, ns[c]) for _ in range(6)
+        )
+        xs.append(fields)
+        counts.append(take32(n))
+    qp_map = take32(int(np.prod(qp_shape))).reshape(qp_shape)
+    sao = take32(int(np.prod(sao_shape))).reshape(sao_shape)
+    nf_map = take8(int(np.prod(qp_shape))).reshape(qp_shape).astype(jnp.bool_)
+    vert = take8(int(np.prod(qp_shape))).reshape(qp_shape).astype(jnp.bool_)
+    horiz = take8(int(np.prod(qp_shape))).reshape(qp_shape).astype(jnp.bool_)
+    scaling = {}
+    for sk in skeys:
+        size = sk[0]
+        scaling[sk] = take32(size * size).reshape(size, size)
+    pcm = [None, None, None]
+    if has_pcm:
+        op = 0
+        for c, (h, w) in enumerate(((H, W), (Hc, Wc), (Hc, Wc))):
+            m = n * (h + PAD) * (w + PAD)
+            pcm[c] = lax.slice(pcm_blob, (op,), (op + m,)).reshape(
+                n, h + PAD, w + PAD
+            )
+            op += m
+    return _core(
+        tc_arrays, scaling, xs, tuple(counts), pcm,
+        qp_map, nf_map, vert, horiz, sao,
+        n=n, H=H, W=W, ctb_log2=ctb_log2,
+        deblock_disabled=deblock_disabled,
+        sao_luma=sao_luma, sao_chroma=sao_chroma,
+        beta_off=beta_off, tc_off=tc_off,
+        cb_qp_off=cb_qp_off, cr_qp_off=cr_qp_off,
+        strong_smoothing=strong_smoothing, use_pallas=use_pallas,
+        bd_y=bd_y, bd_c=bd_c,
+    )
+
+
+_core_blobs_jit = jax.jit(
+    _core_blobs,
+    static_argnames=(
+        "layout", "n", "H", "W", "ctb_log2", "deblock_disabled",
+        "sao_luma", "sao_chroma", "beta_off", "tc_off", "cb_qp_off",
+        "cr_qp_off", "strong_smoothing", "use_pallas", "bd_y", "bd_c",
+    ),
+)
+
+
 def _dispatch_core(bp: BatchPlan):
     """Launch the jitted core asynchronously; returns device plane arrays.
 
@@ -674,28 +816,20 @@ def _dispatch_core(bp: BatchPlan):
     """
     global _pallas_broken
 
-    tc_arrays = {
-        k: (
-            jnp.asarray(bp.tc_coeffs[k]),
-            jnp.asarray(bp.tc_qp[k]),
-            jnp.asarray(bp.tc_dst[k]),
-            jnp.asarray(bp.tc_skip[k]),
-            jnp.asarray(bp.tc_bypass[k]),
-            jnp.asarray(bp.tc_org[k]),
-        )
-        for k in bp.tc_coeffs
-    }
-    scaling = {k: jnp.asarray(v) for k, v in bp.scaling.items()}
-    xs = [tuple(jnp.asarray(a) for a in t) for t in bp.xs]
-    counts = tuple(jnp.asarray(c) for c in bp.counts)
-    pcm = [None if p is None else jnp.asarray(p) for p in bp.pcm]
+    b16, b32, b8, pcm_blob, layout = _bundle_plan(bp)
+    db16 = jnp.asarray(b16)
+    db32 = jnp.asarray(b32)
+    db8 = jnp.asarray(b8)
+    dpcm = (
+        jnp.asarray(pcm_blob)
+        if pcm_blob is not None
+        else jnp.zeros(0, jnp.int32)
+    )
 
     def run(use_pallas: bool):
-        return _core_jit(
-            tc_arrays, scaling, xs, counts, pcm,
-            jnp.asarray(bp.qp_map), jnp.asarray(bp.nf_map),
-            jnp.asarray(bp.vert_edges), jnp.asarray(bp.horiz_edges),
-            jnp.asarray(bp.sao),
+        return _core_blobs_jit(
+            db16, db32, db8, dpcm,
+            layout=layout,
             n=bp.n, H=bp.height, W=bp.width, ctb_log2=bp.ctb_log2,
             deblock_disabled=bp.deblock_disabled,
             sao_luma=bp.sao_luma, sao_chroma=bp.sao_chroma,
