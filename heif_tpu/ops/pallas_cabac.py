@@ -213,27 +213,15 @@ def _kernel(tbl_ref, words_ref, c0_ref, kinds_ref, slots_ref,
     state_out_ref[0] = ctx[...]
 
 
-def cabac_replay_batch(
-    words: np.ndarray,   # [W, 128] int32 big-endian packed stream words
-    c0: np.ndarray,      # [N_CTX, 128] int32 packed p|mps<<6
-    kinds: np.ndarray,   # [S, 128] int32 (KIND_*)
-    slots: np.ndarray,   # [S, 128] int32
-    blk: int = 2048,
-    interpret: bool = False,
-):
-    """Decode S bins for 128 streams; returns (bins [S,128], ctx_final)."""
-    W = words.shape[0]
-    S = kinds.shape[0]
-    S_pad = -(-S // blk) * blk
-    if S_pad != S:
-        pad = np.full((S_pad - S, LANES), KIND_PAD, np.int32)
-        kinds = np.concatenate([kinds, pad])
-        slots = np.concatenate([slots, np.zeros_like(pad)])
+def _replay_call(B, W, S_pad, blk, interpret):
+    """Build the pallas_call for B lane-batches x S_pad bins (jit-cached
+    per shape by pallas itself; callers may reuse the returned callable
+    with device-resident inputs for transfer-free execution)."""
     n_blocks = S_pad // blk
     kernel = partial(_kernel, blk=blk, n_blocks=n_blocks, n_words=W)
-    bins, state = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(1, n_blocks),
+        grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((256, LANES), lambda b, k: (0, 0)),
             pl.BlockSpec((1, W, LANES), lambda b, k: (b, 0, 0)),
@@ -246,22 +234,101 @@ def cabac_replay_batch(
             pl.BlockSpec((1, N_CTX, LANES), lambda b, k: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, S_pad, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, N_CTX, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, S_pad, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, N_CTX, LANES), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((N_CTX, LANES), jnp.int32),
             pltpu.VMEM((8, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(
-        jnp.asarray(np.broadcast_to(_TBL[:, None], (256, LANES)).copy()),
-        jnp.asarray(words).reshape(1, W, LANES),
-        jnp.asarray(c0).reshape(1, N_CTX, LANES),
-        jnp.asarray(kinds).reshape(1, S_pad, LANES),
-        jnp.asarray(slots).reshape(1, S_pad, LANES),
     )
-    return np.asarray(bins)[0, :S], np.asarray(state)[0]
+
+
+def _tbl_device():
+    return jnp.asarray(np.broadcast_to(_TBL[:, None], (256, LANES)).copy())
+
+
+def cabac_replay_batches(
+    words: np.ndarray,   # [B, W, 128] int32 big-endian packed stream words
+    c0: np.ndarray,      # [B, N_CTX, 128] int32 packed p|mps<<6
+    kinds: np.ndarray,   # [B, S, 128] int32 (KIND_*)
+    slots: np.ndarray,   # [B, S, 128] int32
+    blk: int = 2048,
+    interpret: bool = False,
+):
+    """Decode S bins for B x 128 streams in ONE kernel launch (the grid's
+    first axis walks lane-batches; per-batch context state re-inits at
+    block 0). Returns (bins [B,S,128], ctx_final [B,N_CTX,128])."""
+    B, W = words.shape[0], words.shape[1]
+    S = kinds.shape[1]
+    S_pad = -(-S // blk) * blk
+    if S_pad != S:
+        pad = np.full((B, S_pad - S, LANES), KIND_PAD, np.int32)
+        kinds = np.concatenate([kinds, pad], axis=1)
+        slots = np.concatenate([slots, np.zeros_like(pad)], axis=1)
+    bins, state = _replay_call(B, W, S_pad, blk, interpret)(
+        _tbl_device(),
+        jnp.asarray(words),
+        jnp.asarray(c0),
+        jnp.asarray(kinds),
+        jnp.asarray(slots),
+    )
+    return np.asarray(bins)[:, :S], np.asarray(state)
+
+
+def cabac_replay_batch(
+    words: np.ndarray,   # [W, 128] int32 big-endian packed stream words
+    c0: np.ndarray,      # [N_CTX, 128] int32 packed p|mps<<6
+    kinds: np.ndarray,   # [S, 128] int32 (KIND_*)
+    slots: np.ndarray,   # [S, 128] int32
+    blk: int = 2048,
+    interpret: bool = False,
+):
+    """Decode S bins for 128 streams; returns (bins [S,128], ctx_final)."""
+    S = kinds.shape[0]
+    bins, state = cabac_replay_batches(
+        words[None], c0[None], kinds[None], slots[None],
+        blk=blk, interpret=interpret,
+    )
+    return bins[0, :S], state[0]
+
+
+def bench_replay_device(
+    words, c0, kinds, slots, blk: int = 2048, reps: int = 3
+):
+    """Execution-only throughput of the device engine: inputs are staged
+    on device once, the launch is timed with block_until_ready, and the
+    result stays on device (the serving model — tapes and bins live next
+    to the consuming kernels; see module docstring on measurement).
+    Returns (mbins_per_s, us_per_step)."""
+    import time
+
+    B, W = words.shape[0], words.shape[1]
+    S = kinds.shape[1]
+    S_pad = -(-S // blk) * blk
+    if S_pad != S:
+        pad = np.full((B, S_pad - S, LANES), KIND_PAD, np.int32)
+        kinds = np.concatenate([kinds, pad], axis=1)
+        slots = np.concatenate([slots, np.zeros_like(pad)], axis=1)
+    fn = _replay_call(B, W, S_pad, blk, False)
+    args = (
+        _tbl_device(), jnp.asarray(words), jnp.asarray(c0),
+        jnp.asarray(kinds), jnp.asarray(slots),
+    )
+    jax.block_until_ready(args)
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    steps = B * S_pad
+    us_per_step = best / S_pad * 1e6
+    mbins = steps * LANES / best / 1e6
+    return mbins, us_per_step
 
 
 # --------------------------------------------------------------------------

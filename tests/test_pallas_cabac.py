@@ -78,3 +78,31 @@ def test_replay_full_interpret(traced):
         assert np.array_equal(bins, s.bins), f"segment {i} diverged"
         assert np.array_equal(p_f, s.p_final), f"segment {i} pState final"
         assert np.array_equal(mps_f, s.mps_final), f"segment {i} MPS final"
+
+
+def test_replay_batched_lanes_interpret(traced):
+    """B=2 lane-batches in one launch: each batch re-inits its own engine
+    and context state at block 0; results match the single-batch path."""
+    import numpy as np
+
+    from heif_tpu.ops.pallas_cabac import (
+        cabac_replay_batches,
+        pack_segments,
+    )
+
+    rbsp, segs = traced
+    segs = [_truncate(s, 128) for s in segs]
+    words, c0, kinds, slots = pack_segments(rbsp, segs)
+    wb = np.stack([words, words])
+    cb = np.stack([c0, c0])
+    kb = np.stack([kinds, kinds])
+    sb = np.stack([slots, slots])
+    bins, state = cabac_replay_batches(
+        wb, cb, kb, sb, blk=128, interpret=True
+    )
+    for b in range(2):
+        for i, s in enumerate(segs):
+            assert np.array_equal(
+                bins[b, : s.n_bins, i].astype(np.uint8), s.bins
+            ), f"batch {b} seg {i} bins differ"
+    assert np.array_equal(state[0], state[1])
