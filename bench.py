@@ -17,8 +17,15 @@ Run on whatever platform JAX selects (TPU under the driver; CPU works too).
 """
 
 import json
+import os
 import sys
 import time
+
+# persistent XLA compilation cache: the warmup compile of the batched
+# reconstruction program costs minutes on tunneled hosts; caching it on
+# disk makes repeat bench runs start warm
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/heif_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def stitch(plane, rows, cols, th, tw, out_h, out_w):
@@ -107,7 +114,9 @@ def main():
             ]
         # host entropy (C++ CABAC) overlaps device reconstruction per chunk
         with stats.stage("recon"):
-            planes = decode_reconstruct_overlapped(sps, pps, slices)
+            planes = decode_reconstruct_overlapped(
+                sps, pps, slices, stats=stats
+            )
         with stats.stage("stitch"):
             th = sps.pic_height_in_luma_samples
             tw = sps.pic_width_in_luma_samples
@@ -121,7 +130,7 @@ def main():
         stats.megapixels = (y.shape[0] * y.shape[1]) / 1e6
         return (y, cb, cr), stats
 
-    def decode_to_device_once():
+    def decode_to_device_once(stats=None):
         """Decode with planes left on the TPU (no host readback)."""
         import jax
 
@@ -135,7 +144,7 @@ def main():
         ]
         t0 = time.perf_counter()
         outs = decode_reconstruct_overlapped(
-            sps, pps, slices, readback=False
+            sps, pps, slices, readback=False, stats=stats
         )
         jax.block_until_ready(outs)
         return time.perf_counter() - t0
@@ -157,11 +166,19 @@ def main():
     kicker.join(timeout=300.0)
     # time-boxed repeats, min-of-N: per-rep cost swings 3-5x with tunnel
     # load, so more samples materially improve the captured best case
+    from heif_tpu.utils.profiling import DecodeStats as _DS
+
     dev_times = [warm0]
+    dev_stats = []
     t_box = time.perf_counter()
     while len(dev_times) < 13 and time.perf_counter() - t_box < 35.0:
         gc.collect()
-        dev_times.append(decode_to_device_once())
+        ds = _DS()
+        dev_times.append(decode_to_device_once(stats=ds))
+        dev_stats.append(ds)
+    if dev_stats:
+        ds = dev_stats[dev_times[1:].index(min(dev_times[1:]))]
+        print(f"# device-path stages: {ds.summary()}", file=sys.stderr)
 
     # e2e (with plane readback) second; adaptive repeat count — the
     # driver gives the whole bench ~10 min and cold AOT compiles on

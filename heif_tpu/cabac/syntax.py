@@ -60,8 +60,12 @@ class TileSyntaxDecoder:
         self.rbsp = parsed.rbsp
         self.substreams = parsed.substream_ranges()
 
-        if sps.chroma_format_idc != 1:
-            raise NotImplementedError("only 4:2:0 supported")
+        if sps.chroma_format_idc not in (0, 1):
+            raise NotImplementedError(
+                f"chroma_format_idc={sps.chroma_format_idc} not supported "
+                "(only 4:0:0 and 4:2:0)"
+            )
+        self.has_chroma = sps.chroma_format_idc == 1
         if pps.tiles_enabled_flag:
             # tile-segmented pictures interleave substreams per tile
             # column; decoding them with the raster CTU loop would
@@ -201,7 +205,9 @@ class TileSyntaxDecoder:
 
     def _finish(self) -> T.SyntaxTensors:
         out = T.SyntaxTensors(
-            width=self.W, height=self.H, chroma_format_idc=1
+            width=self.W,
+            height=self.H,
+            chroma_format_idc=self.sps.chroma_format_idc,
         )
         out.coeffs = self.coeffs
         out.tu_table = (
@@ -245,8 +251,10 @@ class TileSyntaxDecoder:
             self.sao_params[ry, rx] = self.sao_params[ry - 1, rx]
             return
 
-        cmax_off = (1 << (min(self.bd_y, 10) - 5)) - 1
-        for c in range(3):
+        for c in range(3 if self.has_chroma else 1):
+            # cMax per component bit depth (§7.3.8.3)
+            bd = self.bd_y if c == 0 else self.bd_c
+            cmax_off = (1 << (min(bd, 10) - 5)) - 1
             p = self.sao_params[ry, rx, c]
             if c == 0 and not self.sh.slice_sao_luma_flag:
                 continue
@@ -399,13 +407,16 @@ class TileSyntaxDecoder:
                 py >> 2 : (py >> 2) + p4, px >> 2 : (px >> 2) + p4
             ] = mode
 
-        # chroma mode (4:2:0: one per CU)
-        if self._bin("chroma_mode") == 0:
-            chroma_idx = 4
+        # chroma mode (4:2:0: one per CU; absent when ChromaArrayType==0)
+        if self.has_chroma:
+            if self._bin("chroma_mode") == 0:
+                chroma_idx = 4
+            else:
+                chroma_idx = eng.decode_bypass_bits(2)
+            luma0 = int(self.intra_mode_y[g4y, g4x])
+            self.cu_chroma_mode = self._derive_chroma_mode(chroma_idx, luma0)
         else:
-            chroma_idx = eng.decode_bypass_bits(2)
-        luma0 = int(self.intra_mode_y[g4y, g4x])
-        self.cu_chroma_mode = self._derive_chroma_mode(chroma_idx, luma0)
+            self.cu_chroma_mode = 1
         self.intra_mode_c[g4y : g4y + s4, g4x : g4x + s4] = self.cu_chroma_mode
 
         self.bypass_map[g4y : g4y + s4, g4x : g4x + s4] = self.cu_bypass
@@ -441,7 +452,13 @@ class TileSyntaxDecoder:
         self.qg_open = False
 
     def _current_qp_y(self) -> int:
-        return (self.qg_pred + self.cu_qp_delta_val + 52) % 52
+        """QpY per §8.6.1 (wraps in [-QpBdOffsetY, 51]); same formula as
+        _finalize_qg so the TU dequant QP and the deblock qp_map agree
+        for >8-bit streams."""
+        off = self.qp_bd_y
+        return (
+            (self.qg_pred + self.cu_qp_delta_val + 52 + 2 * off) % (52 + off)
+        ) - off
 
     def _predict_qp(self) -> int:
         """qPY_PRED = (qPY_A + qPY_B + 1) >> 1 (§8.6.1): neighbors used only
@@ -538,7 +555,7 @@ class TileSyntaxDecoder:
                 v, pos = read_bits(pos, bd_l)
                 self.pcm_planes[0][y0 + j, x0 + i] = v << (self.bd_y - bd_l)
         half = size >> 1
-        for c in (1, 2):
+        for c in (1, 2) if self.has_chroma else ():
             for j in range(half):
                 for i in range(half):
                     v, pos = read_bits(pos, bd_c)
@@ -549,7 +566,7 @@ class TileSyntaxDecoder:
         eng.bit_pos = pos
         eng.start()
         # emit TU rows so reconstruction knows these blocks are PCM
-        for c in range(3):
+        for c in range(3 if self.has_chroma else 1):
             lg = log2_size if c == 0 else log2_size - 1
             xs = x0 if c == 0 else x0 >> 1
             ys = y0 if c == 0 else y0 >> 1
@@ -592,7 +609,9 @@ class TileSyntaxDecoder:
 
         cbf_cb = parent_cbf_cb
         cbf_cr = parent_cbf_cr
-        if log2_size > 2:
+        if not self.has_chroma:
+            cbf_cb = cbf_cr = False
+        elif log2_size > 2:
             if depth == 0 or parent_cbf_cb:
                 cbf_cb = bool(self._bin("cbf_chroma", depth))
             else:
@@ -689,7 +708,7 @@ class TileSyntaxDecoder:
             self._residual_coding(x0, y0, log2_size, 0, scan_y, skip_y)
 
         # chroma TUs (4:2:0)
-        if chroma_here or last_of_quad:
+        if self.has_chroma and (chroma_here or last_of_quad):
             xc = (x0 if chroma_here else x_base) >> 1
             yc = (y0 if chroma_here else y_base) >> 1
             log2c = max(2, log2_size - 1)

@@ -40,6 +40,36 @@ class ImageInfo:
     icc: Optional[object] = None  # container.icc.IccProfile when present
 
 
+def _jax_usable() -> bool:
+    """True when a jax backend initializes (any platform; the jitted
+    pipeline runs on CPU too, just slower than on a TPU)."""
+    try:
+        import jax
+
+        return len(jax.devices()) > 0
+    except Exception:
+        return False
+
+
+def _select_vcl_nal(nals: list[bytes]) -> bytes:
+    """Pick THE slice NAL of an hvc1 item.
+
+    Items may legally carry non-VCL NALs (SEI, parameter sets) alongside
+    the slice; more than one VCL NAL would mean a multi-slice picture,
+    which this decoder (like the reference, src/heic/decoder.rs:152-157)
+    rejects loudly rather than silently decoding only the first.
+    """
+    vcl = [n for n in nals if ((n[0] >> 1) & 0x3F) <= 31]
+    if not vcl:
+        raise ValueError("item contains no VCL (slice) NAL unit")
+    if len(vcl) > 1:
+        raise ValueError(
+            f"item contains {len(vcl)} VCL NAL units; multi-slice items "
+            "are not supported"
+        )
+    return vcl[0]
+
+
 class HeicDecoder:
     """End-to-end HEIC decode: container → entropy → TPU reconstruction."""
 
@@ -121,7 +151,7 @@ class HeicDecoder:
     @staticmethod
     def decode(
         data: bytes,
-        backend: str = "ref",
+        backend: str = "auto",
         apply_rotation: bool = True,
         item_id: Optional[int] = None,
         mesh_devices: Optional[int] = None,
@@ -130,8 +160,11 @@ class HeicDecoder:
     ) -> dict:
         """Decode the primary (or given) image item to YCbCr planes.
 
-        Returns {"Y": ..., "Cb": ..., "Cr": ...} uint8 arrays plus "info".
-        backend: "ref" (numpy host reference) or "jax" (TPU pipeline).
+        Returns {"Y": ..., "Cb": ..., "Cr": ...} arrays plus "info"
+        (uint8, or uint16 for >8-bit streams; Cb/Cr are None for
+        monochrome items). backend: "auto" (jax when a device is
+        usable, else ref — the documented default), "ref" (numpy host
+        reference) or "jax" (TPU pipeline).
         mesh_devices: shard the tile grid over an N-device jax Mesh
           (grid-tile data parallelism, SURVEY.md §2.2) instead of the
           single-chip batched pipeline.
@@ -144,6 +177,9 @@ class HeicDecoder:
         from heif_tpu.hevc import slice as sl
         from heif_tpu.hevc.rbsp import remove_emulation_prevention
         from heif_tpu.cabac.syntax import TileSyntaxDecoder
+
+        if backend == "auto":
+            backend = "jax" if _jax_usable() else "ref"
 
         reader = HeifReader(data)
         heif = reader.read()
@@ -164,15 +200,34 @@ class HeicDecoder:
         )
         length_size = rec.length_size_minus_one + 1
 
+        # crop + rotation come from the TARGET item's own properties (an
+        # auxiliary item has its own ispe/irot, distinct from the
+        # primary's — decoding item 52 of the sample with the primary's
+        # irot produced a rotated, uncropped plane)
+        props = heif.meta.item_properties
+        irot_t = props.property_of_type(target, g.ImageRotationProperty)
+        angle = irot_t.angle if irot_t else 0
         if tgt_info.item_type == g.ItemType.GRID:
             grid = parse_grid_config(reader.get_item_data(target))
             tile_ids = heif.item_ids_referencing(target, "dimg")
         else:
+            ispe_t = props.property_of_type(
+                target, g.ImageSpatialExtentsProperty
+            )
+            if ispe_t is not None:
+                out_w, out_h = ispe_t.width, ispe_t.height
+            else:
+                # conformance window (§7.4.3.2.1); sub-sampling factors
+                # are 2 for 4:2:0, 1 for monochrome
+                sub = 2 if sps.chroma_format_idc == 1 else 1
+                out_w = sps.pic_width_in_luma_samples - sub * (
+                    sps.conf_win_left_offset + sps.conf_win_right_offset
+                )
+                out_h = sps.pic_height_in_luma_samples - sub * (
+                    sps.conf_win_top_offset + sps.conf_win_bottom_offset
+                )
             grid = g.GridConfig(
-                rows=1,
-                columns=1,
-                output_width=sps.pic_width_in_luma_samples,
-                output_height=sps.pic_height_in_luma_samples,
+                rows=1, columns=1, output_width=out_w, output_height=out_h
             )
             tile_ids = [target]
 
@@ -189,7 +244,9 @@ class HeicDecoder:
                 nals = sl.split_length_prefixed_nals(
                     reader.get_item_data(tid), length_size
                 )
-                slices.append(sl.parse_slice_header(nals[0], sps, pps))
+                slices.append(
+                    sl.parse_slice_header(_select_vcl_nal(nals), sps, pps)
+                )
             except Exception as e:
                 if not isolate_tile_errors:
                     raise
@@ -256,10 +313,13 @@ class HeicDecoder:
         if bad:
             th = sps.pic_height_in_luma_samples
             tw = sps.pic_width_in_luma_samples
+            bd = max(sps.bit_depth_y, sps.bit_depth_c)
+            gdt = np.uint8 if bd <= 8 else np.uint16
+            mid = 1 << (bd - 1)
             gray = [
-                np.full((th, tw), 128, np.uint8),
-                np.full((th >> 1, tw >> 1), 128, np.uint8),
-                np.full((th >> 1, tw >> 1), 128, np.uint8),
+                np.full((th, tw), mid, gdt),
+                np.full((th >> 1, tw >> 1), mid, gdt),
+                np.full((th >> 1, tw >> 1), mid, gdt),
             ]
             tiles = []
             it = iter(tiles_good)
@@ -276,7 +336,7 @@ class HeicDecoder:
             stats.tiles = len(tile_ids)
 
         planes = HeicDecoder._stitch(
-            tiles, grid, sps, apply_rotation, info.rotation
+            tiles, grid, sps, apply_rotation, angle
         )
         planes["info"] = info
         return planes
@@ -312,7 +372,10 @@ class HeicDecoder:
 
         from heif_tpu import native
 
-        if native.available() and sps.bit_depth_y == 8:
+        if native.available():
+            # the native twin handles 8/10-bit and 4:0:0/4:2:0 (QP wrap
+            # and chroma-QP tables are QpBdOffset-parametrized; verified
+            # bit-exact vs the Python twin by the Main-10 fixture tests)
             st = native.decode_tile_native(sps, pps, ps)
         else:
             st = TileSyntaxDecoder(sps, pps, ps).decode()
@@ -332,33 +395,63 @@ class HeicDecoder:
     @staticmethod
     def _stitch(tiles, grid, sps, apply_rotation: bool, angle: int) -> dict:
         """Assemble decoded tiles into the output canvas, crop to the grid
-        output size, and apply irot (CCW multiples of 90 degrees)."""
+        output size, and apply irot (CCW multiples of 90 degrees).
+
+        Canvas dtype follows the decoded tile planes (uint8, or uint16 for
+        >8-bit streams — allocating uint8 unconditionally silently
+        truncated Main-10 output). Monochrome (4:0:0) streams stitch the
+        luma canvas only; Cb/Cr are None.
+        """
         tw = sps.pic_width_in_luma_samples
         th = sps.pic_height_in_luma_samples
+        mono = sps.chroma_format_idc == 0
+        dt = tiles[0][0].dtype
         canvas_w, canvas_h = grid.columns * tw, grid.rows * th
-        y = np.zeros((canvas_h, canvas_w), dtype=np.uint8)
-        cb = np.zeros((canvas_h >> 1, canvas_w >> 1), dtype=np.uint8)
-        cr = np.zeros((canvas_h >> 1, canvas_w >> 1), dtype=np.uint8)
+        y = np.zeros((canvas_h, canvas_w), dtype=dt)
+        if mono:
+            cb = cr = None
+        else:
+            cb = np.zeros((canvas_h >> 1, canvas_w >> 1), dtype=dt)
+            cr = np.zeros((canvas_h >> 1, canvas_w >> 1), dtype=dt)
         for i, t in enumerate(tiles):
             r, c = divmod(i, grid.columns)
             y[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = t[0]
-            cb[r * (th >> 1) : (r + 1) * (th >> 1), c * (tw >> 1) : (c + 1) * (tw >> 1)] = t[1]
-            cr[r * (th >> 1) : (r + 1) * (th >> 1), c * (tw >> 1) : (c + 1) * (tw >> 1)] = t[2]
+            if not mono:
+                cb[r * (th >> 1) : (r + 1) * (th >> 1), c * (tw >> 1) : (c + 1) * (tw >> 1)] = t[1]
+                cr[r * (th >> 1) : (r + 1) * (th >> 1), c * (tw >> 1) : (c + 1) * (tw >> 1)] = t[2]
         y = y[: grid.output_height, : grid.output_width]
-        cb = cb[: grid.output_height >> 1, : grid.output_width >> 1]
-        cr = cr[: grid.output_height >> 1, : grid.output_width >> 1]
+        if not mono:
+            cb = cb[: grid.output_height >> 1, : grid.output_width >> 1]
+            cr = cr[: grid.output_height >> 1, : grid.output_width >> 1]
         if apply_rotation and angle:
             y = np.rot90(y, k=angle).copy()
-            cb = np.rot90(cb, k=angle).copy()
-            cr = np.rot90(cr, k=angle).copy()
+            if not mono:
+                cb = np.rot90(cb, k=angle).copy()
+                cr = np.rot90(cr, k=angle).copy()
         return {"Y": y, "Cb": cb, "Cr": cr}
 
     @staticmethod
     def to_rgb(planes: dict) -> "np.ndarray":
-        """YCbCr (BT.601 full-range) -> uint8 RGB HxWx3 for preview/export."""
-        y = planes["Y"].astype(np.float32)
-        cb = planes["Cb"].astype(np.float32) - 128.0
-        cr = planes["Cr"].astype(np.float32) - 128.0
+        """YCbCr (BT.601 full-range) -> uint8 RGB HxWx3 for preview/export.
+
+        >8-bit planes are scaled to 8-bit for export; monochrome images
+        (Cb/Cr None) replicate luma across the three channels.
+        """
+        y = planes["Y"]
+        bd_shift = 0
+        if y.dtype == np.uint16:
+            # infer the source bit depth from the info when present
+            info = planes.get("info")
+            bd = getattr(info, "luma_bit_depth", 10) if info else 10
+            bd_shift = bd - 8
+        y = (y.astype(np.float32) / (1 << bd_shift)) if bd_shift else y.astype(
+            np.float32
+        )
+        if planes.get("Cb") is None:
+            g8 = np.clip(y, 0, 255).astype(np.uint8)
+            return np.stack([g8, g8, g8], axis=-1)
+        cb = planes["Cb"].astype(np.float32) / (1 << bd_shift) - 128.0
+        cr = planes["Cr"].astype(np.float32) / (1 << bd_shift) - 128.0
         cb = np.repeat(np.repeat(cb, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
         cr = np.repeat(np.repeat(cr, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
         r = y + 1.402 * cr

@@ -35,7 +35,7 @@ class _TileParams(ctypes.Structure):
         "cr_qp_offset", "transform_skip_enabled", "transquant_bypass_enabled",
         "wpp", "sao_luma", "sao_chroma", "amp_enabled", "pcm_enabled",
         "pcm_log2_min", "pcm_log2_max", "pcm_bd_luma", "pcm_bd_chroma",
-        "bit_depth",
+        "bit_depth", "bit_depth_c", "chroma_format",
     )]
 
 
@@ -91,11 +91,11 @@ def _load():
             ctypes.POINTER(_TileParams),
             ctypes.POINTER(_TileOutput),
         ]
-        if lib.heif_entropy_abi_version() != 2:
+        if lib.heif_entropy_abi_version() != 3:
             # stale binary from an older tree: rebuild in place
             build(force=True)
             lib = ctypes.CDLL(_LIB_PATH)
-            assert lib.heif_entropy_abi_version() == 2
+            assert lib.heif_entropy_abi_version() == 3
         lib.heif_pack_counts.restype = ctypes.c_int
         lib.heif_pack_counts.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
@@ -152,6 +152,8 @@ def _make_params(sps: g.SequenceParameterSet, pps: g.PictureParameterSet,
         pcm_bd_luma=sps.pcm_sample_bit_depth_luma_minus1 + 1,
         pcm_bd_chroma=sps.pcm_sample_bit_depth_chroma_minus1 + 1,
         bit_depth=sps.bit_depth_y,
+        bit_depth_c=sps.bit_depth_c,
+        chroma_format=sps.chroma_format_idc,
     )
 
 
@@ -222,7 +224,9 @@ def decode_tile_native(
     g4h, g4w = H >> 2, W >> 2
     max_tu = (g4h * g4w) * 2  # generous: every 4x4 luma + chroma leaves
 
-    st = T.SyntaxTensors(width=W, height=H, chroma_format_idc=1)
+    st = T.SyntaxTensors(
+        width=W, height=H, chroma_format_idc=sps.chroma_format_idc
+    )
     st.coeffs = [
         np.zeros((H, W), dtype=np.int32),
         np.zeros((H >> 1, W >> 1), dtype=np.int32),
@@ -285,6 +289,11 @@ def decode_tile_native(
         ctypes.byref(params),
         ctypes.byref(out),
     )
+    if rc == 2:
+        raise NotImplementedError(
+            f"chroma_format_idc={sps.chroma_format_idc} not supported "
+            "(only 4:0:0 and 4:2:0)"
+        )
     if rc != 0:
         raise ValueError("native entropy decode failed (stream desync)")
     st.tu_table = tu_table[: int(tu_count[0])].copy()

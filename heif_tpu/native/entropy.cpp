@@ -30,6 +30,22 @@ const uint8_t kTransIdxLps[64] = {
     24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
     33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63};
 
+// Fused (pStateIdx<<1 | valMps) transition tables: one context byte, one
+// load + one store per bin instead of two of each.
+struct FusedTables {
+  uint8_t next_mps[128];
+  uint8_t next_lps[128];
+  FusedTables() {
+    for (int s = 0; s < 128; s++) {
+      int p = s >> 1, mps = s & 1;
+      next_mps[s] = (uint8_t)((kTransIdxMps[p] << 1) | mps);
+      int mps_l = p == 0 ? mps ^ 1 : mps;
+      next_lps[s] = (uint8_t)((kTransIdxLps[p] << 1) | mps_l);
+    }
+  }
+};
+const FusedTables kFused;
+
 const uint8_t kRangeTabLps[64][4] = {
     {128, 176, 208, 240}, {128, 167, 197, 227}, {128, 158, 187, 216},
     {123, 150, 178, 205}, {116, 142, 169, 195}, {111, 135, 160, 185},
@@ -115,15 +131,35 @@ const uint8_t kInitValues[N_CTX] = {
 
 const uint8_t kSigCtx4x4[16] = {0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8};
 
+// §9.3.4.2.5 sig_coeff_flag position patterns by csbf-neighbor state
+// (prev = right|below<<1), indexed [prev][yp*4+xp]. The neighbor state is
+// constant within a 4x4 subblock, so the per-coefficient context reduces
+// to one table lookup plus a per-subblock base.
+const uint8_t kSigCtxPat[4][16] = {
+    // prev 0: (x+y)==0 -> 2, x+y<3 -> 1, else 0
+    {2, 1, 1, 0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0},
+    // prev 1: y==0 -> 2, y==1 -> 1, else 0
+    {2, 2, 2, 2, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0},
+    // prev 2: x==0 -> 2, x==1 -> 1, else 0
+    {2, 1, 0, 0, 2, 1, 0, 0, 2, 1, 0, 0, 2, 1, 0, 0},
+    // prev 3: always 2
+    {2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2},
+};
+
 const int kChromaQpTable[14] = {29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37};
 
 inline int clip3(int lo, int hi, int v) { return v < lo ? lo : (v > hi ? hi : v); }
 
-int chroma_qp_from_luma(int qp_y, int offset) {
-  int q = clip3(0, 57, qp_y + offset);
-  if (q < 30) return q;
-  if (q <= 43) return kChromaQpTable[q - 30];
-  return q - 6;
+// Qp'Cb/Cr from QpY (§8.6.1, Table 8-10, ChromaArrayType==1).
+// bd_offset_c = QpBdOffsetC = 6*(bit_depth_c-8); twin of
+// cabac/syntax.py chroma_qp_from_luma.
+int chroma_qp_from_luma(int qp_y, int offset, int bd_offset_c) {
+  int q = clip3(-bd_offset_c, 57, qp_y + offset);
+  int qpc;
+  if (q < 30) qpc = q;
+  else if (q <= 43) qpc = kChromaQpTable[q - 30];
+  else qpc = q - 6;
+  return qpc + bd_offset_c;
 }
 
 // ---------------------------------------------------------------------------
@@ -200,7 +236,9 @@ struct TileParams {
   int32_t pcm_enabled;
   int32_t pcm_log2_min, pcm_log2_max;
   int32_t pcm_bd_luma, pcm_bd_chroma;
-  int32_t bit_depth;              // 8
+  int32_t bit_depth;              // luma bit depth (8 or 10)
+  int32_t bit_depth_c;            // chroma bit depth
+  int32_t chroma_format;          // chroma_format_idc: 0 (mono) or 1 (4:2:0)
 };
 
 struct TileOutput {
@@ -231,29 +269,80 @@ enum { TU_COMP, TU_X, TU_Y, TU_LOG2, TU_CBF, TU_PRED, TU_QP, TU_SKIP,
 // CABAC engine
 // ---------------------------------------------------------------------------
 
+// CABAC engine with a left-aligned 64-bit bit cache. Bit-exact twin of
+// cabac/engine.py, restructured for host throughput:
+//   - bits are pulled from the stream a byte at a time into `cache`
+//     (top `ncache` bits valid), zero-filled past `bit_end` — matching
+//     the Python twin's "reads past the substream end yield 0" rule
+//     (substream boundaries are byte-aligned, so whole bytes never
+//     straddle bit_end);
+//   - runs of bypass bins collapse into ONE 64-bit division:
+//     concatenated bypass bins == floor((offset·2^n + nextbits)/range),
+//     new offset == the remainder (per-step invariant offset < range);
+//   - renormalization is a single clz-derived shift, not a loop.
+// `bit_pos` stays the true consumed-bit position (PCM alignment and the
+// WPP substream jumps depend on it); seek() moves it and drops the cache.
 struct Engine {
   const uint8_t* data;
   int64_t bit_pos;
   int64_t bit_end;
+  uint64_t cache = 0;  // next unconsumed bits, MSB-aligned
+  int ncache = 0;      // valid bit count in cache
   uint32_t range;
   uint32_t offset;
-  uint8_t pstate[N_CTX];
-  uint8_t mps[N_CTX];
+  // context state packed as (pStateIdx << 1) | valMps
+  uint8_t state[N_CTX];
 
-  inline int read_bit() {
-    if (bit_pos >= bit_end) {
-      bit_pos++;
-      return 0;
+  inline void seek(int64_t pos, int64_t end) {
+    bit_pos = pos;
+    bit_end = end;
+    cache = 0;
+    ncache = 0;
+  }
+
+  inline void refill() {
+    int64_t fp = bit_pos + ncache;  // next unfetched bit
+    if (fp & 7) {                   // align (only right after seek)
+      int n = 8 - (int)(fp & 7);
+      uint64_t b = fp < bit_end ? (data[fp >> 3] & (0xFFu >> (fp & 7))) : 0;
+      cache |= b << (64 - ncache - n);
+      ncache += n;
+      fp += n;
     }
-    int b = (data[bit_pos >> 3] >> (7 - (bit_pos & 7))) & 1;
-    bit_pos++;
-    return b;
+    while (ncache <= 56) {
+      uint64_t b = fp < bit_end ? data[fp >> 3] : 0;
+      cache |= b << (56 - ncache);
+      ncache += 8;
+      fp += 8;
+    }
+  }
+
+  // n <= 57
+  inline uint32_t read_bits(int n) {
+    if (ncache < n) refill();
+    uint64_t v = cache >> (64 - n);
+    cache <<= n;
+    ncache -= n;
+    bit_pos += n;
+    return (uint32_t)v;
+  }
+
+  inline uint64_t peek_bits(int n) {
+    if (ncache < n) refill();
+    return cache >> (64 - n);
+  }
+
+  inline void consume(int n) {
+    cache <<= n;
+    ncache -= n;
+    bit_pos += n;
   }
 
   bool start() {
+    cache = 0;
+    ncache = 0;
     range = 510;
-    uint32_t off = 0;
-    for (int i = 0; i < 9; i++) off = (off << 1) | read_bit();
+    uint32_t off = read_bits(9);
     if (off >= 510) return false;
     offset = off;
     return true;
@@ -266,40 +355,41 @@ struct Engine {
       int m = (init >> 4) * 5 - 45;
       int n = ((init & 15) << 3) - 16;
       int pre = clip3(1, 126, ((m * q) >> 4) + n);
-      if (pre > 63) {
-        mps[i] = 1;
-        pstate[i] = (uint8_t)(pre - 64);
-      } else {
-        mps[i] = 0;
-        pstate[i] = (uint8_t)(63 - pre);
-      }
+      if (pre > 63)
+        state[i] = (uint8_t)(((pre - 64) << 1) | 1);
+      else
+        state[i] = (uint8_t)((63 - pre) << 1);
     }
   }
 
   inline int decode_bin(int ctx) {
-    uint32_t p = pstate[ctx];
-    uint32_t lps = kRangeTabLps[p][(range >> 6) & 3];
+    uint32_t s = state[ctx];
+    uint32_t lps = kRangeTabLps[s >> 1][(range >> 6) & 3];
     range -= lps;
     int bin;
     if (offset >= range) {
-      bin = 1 - mps[ctx];
+      bin = (s & 1) ^ 1;
       offset -= range;
       range = lps;
-      if (p == 0) mps[ctx] ^= 1;
-      pstate[ctx] = kTransIdxLps[p];
+      state[ctx] = kFused.next_lps[s];
+      // LPS renorm: range==lps in [2,240] -> shift in [1,7]
+      int sh = __builtin_clz(range) - 23;
+      range <<= sh;
+      offset = (offset << sh) | read_bits(sh);
     } else {
-      bin = mps[ctx];
-      pstate[ctx] = kTransIdxMps[p];
-    }
-    while (range < 256) {
-      range <<= 1;
-      offset = (offset << 1) | read_bit();
+      bin = s & 1;
+      state[ctx] = kFused.next_mps[s];
+      // MPS renorm: post-subtract range >= 128, at most one shift
+      if (range < 256) {
+        range <<= 1;
+        offset = (offset << 1) | read_bits(1);
+      }
     }
     return bin;
   }
 
   inline int decode_bypass() {
-    offset = (offset << 1) | read_bit();
+    offset = (offset << 1) | read_bits(1);
     if (offset >= range) {
       offset -= range;
       return 1;
@@ -307,34 +397,68 @@ struct Engine {
     return 0;
   }
 
+  // n consecutive bypass bins as one division (n <= 47)
   inline uint32_t decode_bypass_bits(int n) {
-    uint32_t v = 0;
-    for (int i = 0; i < n; i++) v = (v << 1) | decode_bypass();
-    return v;
+    if (n == 0) return 0;
+    uint64_t v = ((uint64_t)offset << n) | read_bits(n);
+    offset = (uint32_t)(v % range);
+    return (uint32_t)(v / range);
+  }
+
+  // Unary run of bypass bins: returns the count of 1-bins (<= max_ones),
+  // consuming count+1 bins when a 0-terminator is seen, exactly max_ones
+  // bins otherwise (TR-bypass semantics).
+  inline int decode_bypass_unary(int max_ones) {
+    int total = 0;
+    while (total < max_ones) {
+      int k = max_ones - total + 1;  // remaining ones + terminator
+      if (k > 24) k = 24;
+      uint64_t v = ((uint64_t)offset << k) | peek_bits(k);
+      uint32_t q = (uint32_t)(v / range);
+      uint32_t inv = (uint32_t)(~q) & ((1u << k) - 1);
+      if (inv == 0) {  // k solid 1-bins
+        int take = k;
+        if (total + take > max_ones) take = max_ones - total;
+        uint64_t vt = v >> (k - take);
+        offset = (uint32_t)(vt % range);
+        consume(take);
+        total += take;
+        continue;
+      }
+      int zpos = 31 - __builtin_clz(inv);  // highest 0-bin (LSB index)
+      int ones = k - 1 - zpos;
+      if (total + ones >= max_ones) {  // cap reached before the 0-bin
+        int take = max_ones - total;
+        uint64_t vt = v >> (k - take);
+        offset = (uint32_t)(vt % range);
+        consume(take);
+        return max_ones;
+      }
+      int used = ones + 1;  // run + terminating 0
+      uint64_t vt = v >> (k - used);
+      offset = (uint32_t)(vt % range);
+      consume(used);
+      return total + ones;
+    }
+    return max_ones;
   }
 
   inline int decode_terminate() {
     range -= 2;
     if (offset >= range) return 1;
-    while (range < 256) {
-      range <<= 1;
-      offset = (offset << 1) | read_bit();
+    if (range < 256) {
+      int s = __builtin_clz(range) - 23;
+      range <<= s;
+      offset = (offset << s) | read_bits(s);
     }
     return 0;
   }
 
-  inline int decode_tr_bypass(int cmax) {
-    for (int k = 0; k < cmax; k++)
-      if (!decode_bypass()) return k;
-    return cmax;
-  }
+  inline int decode_tr_bypass(int cmax) { return decode_bypass_unary(cmax); }
 
   inline uint32_t decode_egk_bypass(int k) {
-    int prefix = 0;
-    while (decode_bypass()) {
-      prefix++;
-      if (prefix > 31) return 0;  // corrupt; caller detects via desync
-    }
+    int prefix = decode_bypass_unary(32);
+    if (prefix > 31) return 0;  // corrupt; caller detects via desync
     uint32_t value = prefix + k ? decode_bypass_bits(prefix + k) : 0;
     return (((1u << prefix) - 1) << k) + value;
   }
@@ -354,10 +478,11 @@ struct Decoder {
 
   int W, H, ctb, ctb_log2, ctbs_x, ctbs_y, g4w, g4h;
   int log2_min_qg;
+  int qp_bd_y, qp_bd_c;  // QpBdOffsetY/C = 6*(bit_depth-8), §7.4.3.2.1
+  bool has_chroma;       // chroma_format_idc == 1 (4:2:0); 0 = monochrome
 
   // WPP snapshot
-  uint8_t snap_p[N_CTX];
-  uint8_t snap_m[N_CTX];
+  uint8_t snap_state[N_CTX];
   bool have_snap = false;
 
   // QP state
@@ -382,6 +507,9 @@ struct Decoder {
   void init() {
     W = P->width;
     H = P->height;
+    qp_bd_y = 6 * (P->bit_depth - 8);
+    qp_bd_c = 6 * (P->bit_depth_c - 8);
+    has_chroma = P->chroma_format == 1;
     ctb_log2 = P->ctb_log2;
     ctb = 1 << ctb_log2;
     ctbs_x = (W + ctb - 1) >> ctb_log2;
@@ -418,24 +546,23 @@ struct Decoder {
   inline int8_t& ctd(int x4, int y4) { return ct_depth_buf[y4 * g4w + x4]; }
 
   // ------------------------------------------------------------------
-  bool decode() {
+  // returns 0 ok, 1 stream desync, 2 unsupported chroma format
+  int decode() {
+    if (P->chroma_format != 0 && P->chroma_format != 1) return 2;
     init();
     int n_ctb = ctbs_x * ctbs_y;
     eng.data = rbsp;
-    eng.bit_pos = (int64_t)sub_off[0] * 8;
-    eng.bit_end = (int64_t)sub_off[1] * 8;
-    if (!eng.start()) return false;
+    eng.seek((int64_t)sub_off[0] * 8, (int64_t)sub_off[1] * 8);
+    if (!eng.start()) return 1;
     eng.init_contexts(P->slice_qp);
     for (int addr = 0; addr < n_ctb; addr++) {
       int x = addr % ctbs_x;
       int y = addr / ctbs_x;
       if (P->wpp && x == 0 && y > 0) {
-        eng.bit_pos = (int64_t)sub_off[2 * y] * 8;
-        eng.bit_end = (int64_t)sub_off[2 * y + 1] * 8;
-        if (!eng.start()) return false;
+        eng.seek((int64_t)sub_off[2 * y] * 8, (int64_t)sub_off[2 * y + 1] * 8);
+        if (!eng.start()) return 1;
         if (ctbs_x > 1 && have_snap) {
-          memcpy(eng.pstate, snap_p, N_CTX);
-          memcpy(eng.mps, snap_m, N_CTX);
+          memcpy(eng.state, snap_state, N_CTX);
         } else {
           eng.init_contexts(P->slice_qp);
         }
@@ -443,21 +570,20 @@ struct Decoder {
         last_cu_qp = P->slice_qp;
       }
       decode_ctu(x, y);
-      if (error) return false;
+      if (error) return 1;
       if (P->wpp && x == 1) {
-        memcpy(snap_p, eng.pstate, N_CTX);
-        memcpy(snap_m, eng.mps, N_CTX);
+        memcpy(snap_state, eng.state, N_CTX);
         have_snap = true;
       }
       int end_flag = eng.decode_terminate();
       bool last = addr == n_ctb - 1;
-      if (end_flag != (last ? 1 : 0)) return false;
+      if (end_flag != (last ? 1 : 0)) return 1;
       if (!last && P->wpp && x == ctbs_x - 1) {
-        if (eng.decode_terminate() != 1) return false;
+        if (eng.decode_terminate() != 1) return 1;
       }
     }
     finalize_qg();
-    return !error;
+    return error ? 1 : 0;
   }
 
   // ---- QP handling ----
@@ -475,7 +601,7 @@ struct Decoder {
 
   void finalize_qg() {
     if (!qg_open) return;
-    int qp = (qg_pred + cu_qp_delta_val + 52) % 52;
+    int qp = current_qp_y();
     int size = 1 << qg_log2;
     int w4 = (size < W - qg_x ? size : W - qg_x) >> 2;
     int h4 = (size < H - qg_y ? size : H - qg_y) >> 2;
@@ -485,7 +611,11 @@ struct Decoder {
     qg_open = false;
   }
 
-  inline int current_qp_y() { return (qg_pred + cu_qp_delta_val + 52) % 52; }
+  // QpY per §8.6.1: wraps in [-QpBdOffsetY, 51]
+  inline int current_qp_y() {
+    return ((qg_pred + cu_qp_delta_val + 52 + 2 * qp_bd_y) % (52 + qp_bd_y)) -
+           qp_bd_y;
+  }
 
   // ---- CTU ----
   void decode_ctu(int rx, int ry) {
@@ -506,8 +636,11 @@ struct Decoder {
       memcpy(sp, O->sao + (((ry - 1) * ctbs_x + rx) * 3) * 6, 3 * 6 * sizeof(int16_t));
       return;
     }
-    int cmax = (1 << ((P->bit_depth < 10 ? P->bit_depth : 10) - 5)) - 1;
-    for (int c = 0; c < 3; c++) {
+    int n_comp = has_chroma ? 3 : 1;
+    for (int c = 0; c < n_comp; c++) {
+      // cMax per component bit depth (§7.3.8.3)
+      int bd = c == 0 ? P->bit_depth : P->bit_depth_c;
+      int cmax = (1 << ((bd < 10 ? bd : 10) - 5)) - 1;
       int16_t* p = sp + c * 6;
       if (c == 0 && !P->sao_luma) continue;
       if (c > 0 && !P->sao_chroma) continue;
@@ -676,11 +809,16 @@ struct Decoder {
           im_y((px >> 2) + k, (py >> 2) + j) = (int8_t)mode;
     }
 
-    int chroma_idx = eng.decode_bin(CTX_CHROMA_MODE)
-                         ? (int)eng.decode_bypass_bits(2)
-                         : 4;
-    int luma0 = im_y(g4x, g4y);
-    cu_chroma_mode = derive_chroma_mode(chroma_idx, luma0);
+    if (has_chroma) {
+      // intra_chroma_pred_mode absent when ChromaArrayType==0 (§7.3.8.5)
+      int chroma_idx = eng.decode_bin(CTX_CHROMA_MODE)
+                           ? (int)eng.decode_bypass_bits(2)
+                           : 4;
+      int luma0 = im_y(g4x, g4y);
+      cu_chroma_mode = derive_chroma_mode(chroma_idx, luma0);
+    } else {
+      cu_chroma_mode = 1;
+    }
     for (int j = 0; j < s4; j++)
       for (int i = 0; i < s4; i++) {
         im_c(g4x + i, g4y + j) = (int8_t)cu_chroma_mode;
@@ -723,17 +861,20 @@ struct Decoder {
         for (int i = 0; i < size; i++)
           O->pcm_y[(y0 + j) * W + x0 + i] =
               (uint16_t)(read_bits(bd_l) << (P->bit_depth - bd_l));
-      int half = size >> 1;
-      uint16_t* cp[2] = {O->pcm_cb, O->pcm_cr};
-      for (int c = 0; c < 2; c++)
-        for (int j = 0; j < half; j++)
-          for (int i = 0; i < half; i++)
-            cp[c][((y0 >> 1) + j) * (W >> 1) + (x0 >> 1) + i] =
-                (uint16_t)(read_bits(bd_c) << (P->bit_depth - bd_c));
+      if (has_chroma) {
+        int half = size >> 1;
+        uint16_t* cp[2] = {O->pcm_cb, O->pcm_cr};
+        for (int c = 0; c < 2; c++)
+          for (int j = 0; j < half; j++)
+            for (int i = 0; i < half; i++)
+              cp[c][((y0 >> 1) + j) * (W >> 1) + (x0 >> 1) + i] =
+                  (uint16_t)(read_bits(bd_c) << (P->bit_depth_c - bd_c));
+      }
     }
-    eng.bit_pos = pos;
+    eng.seek(pos, eng.bit_end);
     if (!eng.start()) error = true;
-    for (int c = 0; c < 3; c++) {
+    int n_comp = has_chroma ? 3 : 1;
+    for (int c = 0; c < n_comp; c++) {
       int lg = c == 0 ? log2_size : log2_size - 1;
       emit_tu(c, c == 0 ? x0 : x0 >> 1, c == 0 ? y0 : y0 >> 1, lg, 0, 0, 0, 0,
               0, 1);
@@ -752,9 +893,11 @@ struct Decoder {
       split = log2_size > P->max_tb_log2 || (intra_split && depth == 0);
     }
     bool cbf_cb = pcb, cbf_cr = pcr;
-    if (log2_size > 2) {
+    if (log2_size > 2 && has_chroma) {
       cbf_cb = (depth == 0 || pcb) ? eng.decode_bin(CTX_CBF_CHROMA + depth) : false;
       cbf_cr = (depth == 0 || pcr) ? eng.decode_bin(CTX_CBF_CHROMA + depth) : false;
+    } else if (!has_chroma) {
+      cbf_cb = cbf_cr = false;
     }
     if (split) {
       int half = 1 << (log2_size - 1);
@@ -816,21 +959,22 @@ struct Decoder {
       decode_cu_qp_delta();
 
     int qp_y = current_qp_y();
+    int qp_prime_y = qp_y + qp_bd_y;  // Qp'Y (§8.6.1), the dequant QP
     int mode_y = im_y(x0 >> 2, y0 >> 2);
     int skip_y = 0;
     if (cbf_luma && P->transform_skip_enabled && !cu_bypass && log2_size == 2)
       skip_y = eng.decode_bin(CTX_TSKIP_LUMA);
     int scan_y = intra_scan_idx(log2_size, mode_y, 0);
-    emit_tu(0, x0, y0, log2_size, cbf_luma, mode_y, qp_y, skip_y, scan_y, 0);
+    emit_tu(0, x0, y0, log2_size, cbf_luma, mode_y, qp_prime_y, skip_y, scan_y, 0);
     if (cbf_luma) residual_coding(x0, y0, log2_size, 0, scan_y);
 
-    if (chroma_here || last_of_quad) {
+    if (has_chroma && (chroma_here || last_of_quad)) {
       int xc = (chroma_here ? x0 : xb) >> 1;
       int yc = (chroma_here ? y0 : yb) >> 1;
       int lg_c = log2_size > 2 ? log2_size - 1 : 2;
       int mode_c = cu_chroma_mode;
-      int qcb = chroma_qp_from_luma(qp_y, P->cb_qp_offset);
-      int qcr = chroma_qp_from_luma(qp_y, P->cr_qp_offset);
+      int qcb = chroma_qp_from_luma(qp_y, P->cb_qp_offset, qp_bd_c);
+      int qcr = chroma_qp_from_luma(qp_y, P->cr_qp_offset, qp_bd_c);
       int scan_c = intra_scan_idx(lg_c, mode_c, 1);
       const bool cbfs[2] = {cbf_cb, cbf_cr};
       const int qps[2] = {qcb, qcr};
@@ -846,36 +990,6 @@ struct Decoder {
   }
 
   // ---- residual coding ----
-  inline int sig_ctx(int log2_size, int c_idx, int scan_idx, int xc, int yc,
-                     int xs, int ys, int xp, int yp, const uint8_t* csbf,
-                     int sb_size) {
-    int sc;
-    if (log2_size == 2) {
-      sc = kSigCtx4x4[(yp << 2) + xp];
-    } else if (xc + yc == 0) {
-      sc = 0;
-    } else {
-      int prev = 0;
-      if (xs + 1 < sb_size && csbf[ys * sb_size + xs + 1]) prev |= 1;
-      if (ys + 1 < sb_size && csbf[(ys + 1) * sb_size + xs]) prev |= 2;
-      switch (prev) {
-        case 0: sc = xp + yp == 0 ? 2 : (xp + yp < 3 ? 1 : 0); break;
-        case 1: sc = yp == 0 ? 2 : (yp == 1 ? 1 : 0); break;
-        case 2: sc = xp == 0 ? 2 : (xp == 1 ? 1 : 0); break;
-        default: sc = 2;
-      }
-      if (c_idx == 0) {
-        if (xs + ys > 0) sc += 3;
-        if (log2_size == 3)
-          sc += scan_idx == 0 ? 9 : 15;
-        else
-          sc += 21;
-      } else {
-        sc += log2_size == 3 ? 9 : 12;
-      }
-    }
-    return CTX_SIG + sc + (c_idx ? 27 : 0);
-  }
 
   void residual_coding(int x0, int y0, int log2_size, int c_idx, int scan_idx) {
     int size = 1 << log2_size;
@@ -941,16 +1055,44 @@ struct Decoder {
       }
       if (!sb_coded) continue;
 
+      // per-subblock sig context base (§9.3.4.2.5): the csbf-neighbor
+      // pattern and the (c_idx, size, scan, subblock) offset are constant
+      // across the 16 positions, so the per-coefficient ctx is one table
+      // lookup. DC (xc+yc==0) overrides to sc=0.
+      int sig_base = CTX_SIG + (c_idx ? 27 : 0);
+      const uint8_t* pat = nullptr;
+      int base_add = 0;
+      bool dc_sb = xs == 0 && ys == 0;
+      if (log2_size == 2) {
+        pat = kSigCtx4x4;
+      } else {
+        int prev = 0;
+        if (xs + 1 < sb_size && csbf[ys * sb_size + xs + 1]) prev |= 1;
+        if (ys + 1 < sb_size && csbf[(ys + 1) * sb_size + xs]) prev |= 2;
+        pat = kSigCtxPat[prev];
+        if (c_idx == 0) {
+          base_add = (xs + ys > 0 ? 3 : 0) +
+                     (log2_size == 3 ? (scan_idx == 0 ? 9 : 15) : 21);
+        } else {
+          base_add = log2_size == 3 ? 9 : 12;
+        }
+      }
+
       uint8_t sig[16] = {0};
       int start_n = i == last_sb ? last_pos - 1 : 15;
       if (i == last_sb) sig[last_pos] = 1;
       for (int n = start_n; n >= 0; n--) {
         if (n > 0 || !infer_dc) {
           int xp = cs.x[n], yp = cs.y[n];
-          int xc = (xs << 2) + xp, yc = (ys << 2) + yp;
-          int b = eng.decode_bin(
-              sig_ctx(log2_size, c_idx, scan_idx, xc, yc, xs, ys, xp, yp, csbf,
-                      sb_size));
+          int ctx;
+          if (log2_size == 2) {
+            ctx = sig_base + pat[(yp << 2) + xp];
+          } else if (dc_sb && xp + yp == 0) {
+            ctx = sig_base;  // DC coefficient
+          } else {
+            ctx = sig_base + base_add + pat[(yp << 2) + xp];
+          }
+          int b = eng.decode_bin(ctx);
           sig[n] = (uint8_t)b;
           if (b) infer_dc = 0;
         } else {
@@ -995,12 +1137,15 @@ struct Decoder {
       int first_sig = sig_pos[n_sig - 1];
       int last_sig = sig_pos[0];
       bool hidden = sign_hiding && (last_sig - first_sig) > 3;
+      // signs are consecutive bypass bins (scan order, hidden sign is the
+      // LAST of the iteration) -> one multi-bit bypass read
       int signs[16] = {0};
       bool has_sign[16] = {false};
-      for (int k = 0; k < n_sig; k++) {
+      int nbits = n_sig - (hidden ? 1 : 0);
+      uint32_t sign_bits = eng.decode_bypass_bits(nbits);
+      for (int k = 0; k < nbits; k++) {
         int n = sig_pos[k];
-        if (hidden && n == first_sig) continue;
-        signs[n] = eng.decode_bypass();
+        signs[n] = (sign_bits >> (nbits - 1 - k)) & 1;
         has_sign[n] = true;
       }
 
@@ -1020,12 +1165,10 @@ struct Decoder {
         }
         int level = base;
         if (base == limit) {
-          int prefix = 0;
-          while (eng.decode_bypass()) {
-            if (++prefix > 40) {
-              error = true;
-              return;
-            }
+          int prefix = eng.decode_bypass_unary(41);
+          if (prefix > 40) {
+            error = true;
+            return;
           }
           int rem;
           if (prefix < 3) {
@@ -1063,6 +1206,7 @@ struct Decoder {
 
 extern "C" {
 
+// returns 0 ok, 1 stream desync, 2 unsupported chroma format
 int heif_entropy_decode_tile(const uint8_t* rbsp, int32_t /*rbsp_len*/,
                              const int32_t* substream_offsets,
                              int32_t n_substreams, const TileParams* params,
@@ -1074,7 +1218,7 @@ int heif_entropy_decode_tile(const uint8_t* rbsp, int32_t /*rbsp_len*/,
   d.sub_off = substream_offsets;
   d.n_sub = n_substreams;
   *out->tu_count = 0;
-  return d.decode() ? 0 : 1;
+  return d.decode();
 }
 
 // ---------------------------------------------------------------------------
@@ -1171,6 +1315,6 @@ int heif_pack_tile(const int32_t* tu, int32_t n_tu,
   return 0;
 }
 
-int heif_entropy_abi_version() { return 2; }
+int heif_entropy_abi_version() { return 3; }
 
 }  // extern "C"

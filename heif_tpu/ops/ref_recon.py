@@ -212,10 +212,14 @@ class IntraPredictor:
         lf = left.copy()
         tf = top.copy()
         if bi:
-            # §8.4.4.2.3 strong (bilinear) filter
+            # §8.4.4.2.3 strong (bilinear) filter: pF[x][-1] =
+            # ((63-x)*corner + (x+1)*p[63][-1] + 32) >> 6 for x = 0..62;
+            # array slot i holds p[i-1][-1], so the weights are
+            # (64-i, i) — (63-i, i+1) here was an off-by-one that
+            # surfaced as +-1 errors on flat 32x32 TUs (CTB-64 fixtures)
             i = np.arange(1, 64)
-            tf[1:64] = ((63 - i) * int(corner) + (i + 1) * int(top[64]) + 32) >> 6
-            lf[1:64] = ((63 - i) * int(corner) + (i + 1) * int(left[64]) + 32) >> 6
+            tf[1:64] = ((64 - i) * int(corner) + i * int(top[64]) + 32) >> 6
+            lf[1:64] = ((64 - i) * int(corner) + i * int(left[64]) + 32) >> 6
             tf[64] = top[64]
             lf[64] = left[64]
             corner_f = corner

@@ -274,20 +274,32 @@ def write_pps() -> bytes:
 
 
 def synthesize_pcm_stream(
-    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, nal_type: int = 20
 ) -> bytes:
     """All-PCM I-picture: every 32x32 CTU is one PCM block whose samples
-    are taken verbatim from the given 8-bit planes. Returns Annex-B."""
+    are taken verbatim from the given 8-bit planes. Returns Annex-B.
+
+    nal_type 20 (IDR_N_LP, default) or 21 (CRA_NUT): a CRA slice header
+    additionally carries slice_pic_order_cnt_lsb and an (empty)
+    st_ref_pic_set — the non-IDR IRAP path of hevc/slice.py (reference
+    anchor src/hevc/slice.rs:52-57)."""
+    assert nal_type in (20, 21)
     h, wd = y.shape
     assert h % 32 == 0 and wd % 32 == 0, "dims must be CTU-aligned"
     assert cb.shape == cr.shape == (h // 2, wd // 2)
 
     w = BitWriter()
-    # --- slice segment header (IDR_N_LP) ---
+    # --- slice segment header (IDR_N_LP or CRA_NUT) ---
     w.bit(1)  # first_slice_segment_in_pic
     w.bit(1)  # no_output_of_prior_pics (IRAP)
     w.ue(0)  # slice_pic_parameter_set_id
     w.ue(2)  # slice_type I
+    if nal_type == 21:  # CRA: POC + ref-pic-set fields (§7.3.6.1)
+        w.bits(0, 8)  # slice_pic_order_cnt_lsb (log2_max_poc_lsb = 8)
+        w.bit(0)  # short_term_ref_pic_set_sps_flag
+        # st_ref_pic_set(0): empty set (no inter-RPS prediction at idx 0)
+        w.ue(0)  # num_negative_pics
+        w.ue(0)  # num_positive_pics
     w.se(0)  # slice_qp_delta (SliceQpY = 26)
     w.byte_align()  # §7.3.6.1 byte_alignment before slice data
 
@@ -322,5 +334,5 @@ def synthesize_pcm_stream(
         _nal(32, write_vps())
         + _nal(33, write_sps(wd, h))
         + _nal(34, write_pps())
-        + _nal(20, w.tobytes())  # IDR_N_LP
+        + _nal(nal_type, w.tobytes())
     )

@@ -84,9 +84,12 @@ def decode_hevc_annexb(stream: bytes) -> list[np.ndarray]:
                 for ch in range(3):
                     w = lib.de265_get_image_width(img, ch)
                     h = lib.de265_get_image_height(img, ch)
-                    bpp = lib.de265_get_bits_per_pixel(img, ch)
                     stride = ctypes.c_int(0)  # in bytes
                     ptr = lib.de265_get_image_plane(img, ch, ctypes.byref(stride))
+                    if not ptr or w <= 0 or h <= 0:
+                        planes.append(None)  # monochrome: no chroma planes
+                        continue
+                    bpp = lib.de265_get_bits_per_pixel(img, ch)
                     buf = np.ctypeslib.as_array(ptr, shape=(h, stride.value))
                     if bpp > 8:  # little-endian uint16 samples
                         buf = buf.view(np.uint16)
@@ -124,15 +127,25 @@ def decode_heic_via_de265(data: bytes) -> dict[str, np.ndarray]:
     independently reproduced bit-exactly by heif_tpu's own spec
     implementation; use decode_heic only for metadata/approximate checks.
     """
+    from heif_tpu.container import grammar as cg
     from heif_tpu.container.reader import HeifReader, parse_grid_config
 
     r = HeifReader(data)
     heif = r.read()
     primary = heif.primary_item_id()
     rec = heif.hevc_configuration_record()
-    ps_nals = [rec.nal_units_of_type(t)[0] for t in (32, 33, 34)]
-    grid = parse_grid_config(r.get_item_data(primary))
-    tile_ids = heif.item_ids_referencing(primary, "dimg")
+    ps_nals = [
+        arr[0]
+        for t in (32, 33, 34)
+        if (arr := rec.nal_units_of_type(t))
+    ]
+    info = heif.item_info_by_item_id(primary)
+    if info is not None and info.item_type == cg.ItemType.GRID:
+        grid = parse_grid_config(r.get_item_data(primary))
+        tile_ids = heif.item_ids_referencing(primary, "dimg")
+    else:
+        grid = None
+        tile_ids = [primary]
     ls = rec.length_size_minus_one + 1
     tiles = []
     for tid in tile_ids:
@@ -144,25 +157,39 @@ def decode_heic_via_de265(data: bytes) -> dict[str, np.ndarray]:
             nals.append(payload[pos + ls : pos + ls + ln])
             pos += ls + ln
         tiles.append(decode_tile_nals(ps_nals, nals))
+    mono = len(tiles[0]) < 3 or tiles[0][1] is None
+    if grid is None:
+        t = tiles[0]
+        return {
+            "Y": t[0],
+            "Cb": None if mono else t[1],
+            "Cr": None if mono else t[2],
+        }
     th, tw = tiles[0][0].shape
+    dt = tiles[0][0].dtype
     canvas = {
-        "Y": np.zeros((grid.rows * th, grid.columns * tw), dtype=np.uint8),
-        "Cb": np.zeros((grid.rows * th // 2, grid.columns * tw // 2), dtype=np.uint8),
-        "Cr": np.zeros((grid.rows * th // 2, grid.columns * tw // 2), dtype=np.uint8),
+        "Y": np.zeros((grid.rows * th, grid.columns * tw), dtype=dt),
+        "Cb": np.zeros((grid.rows * th // 2, grid.columns * tw // 2), dtype=dt),
+        "Cr": np.zeros((grid.rows * th // 2, grid.columns * tw // 2), dtype=dt),
     }
     for i, t in enumerate(tiles):
         rr, cc = divmod(i, grid.columns)
         canvas["Y"][rr * th : (rr + 1) * th, cc * tw : (cc + 1) * tw] = t[0]
-        canvas["Cb"][
-            rr * th // 2 : (rr + 1) * th // 2, cc * tw // 2 : (cc + 1) * tw // 2
-        ] = t[1]
-        canvas["Cr"][
-            rr * th // 2 : (rr + 1) * th // 2, cc * tw // 2 : (cc + 1) * tw // 2
-        ] = t[2]
+        if not mono:
+            canvas["Cb"][
+                rr * th // 2 : (rr + 1) * th // 2, cc * tw // 2 : (cc + 1) * tw // 2
+            ] = t[1]
+            canvas["Cr"][
+                rr * th // 2 : (rr + 1) * th // 2, cc * tw // 2 : (cc + 1) * tw // 2
+            ] = t[2]
     return {
         "Y": canvas["Y"][: grid.output_height, : grid.output_width],
-        "Cb": canvas["Cb"][: grid.output_height >> 1, : grid.output_width >> 1],
-        "Cr": canvas["Cr"][: grid.output_height >> 1, : grid.output_width >> 1],
+        "Cb": None
+        if mono
+        else canvas["Cb"][: grid.output_height >> 1, : grid.output_width >> 1],
+        "Cr": None
+        if mono
+        else canvas["Cr"][: grid.output_height >> 1, : grid.output_width >> 1],
     }
 
 

@@ -151,25 +151,33 @@ def available(bit_depth: int = 8) -> bool:
 
 def encode_i_frame(
     y: np.ndarray,
-    cb: np.ndarray,
-    cr: np.ndarray,
+    cb: np.ndarray | None,
+    cr: np.ndarray | None,
     qp: int = 30,
     bit_depth: int = 8,
     options: dict[str, str] | None = None,
+    csp: str = "i420",
 ) -> bytes:
     """Encode one intra frame to an HEVC Annex-B byte string.
 
     y: (H, W), cb/cr: (H/2, W/2); uint8 for 8-bit, uint16 for 10-bit.
     options: extra x265 key=value settings (e.g. {"wpp": "0",
     "ctu": "16", "tskip": "1", "lossless": "1", "signhide": "0"}).
+    csp: "i420" (default) or "i400" (monochrome; cb/cr may be None —
+    emits chroma_format_idc=0 streams like the flagship file's
+    auxiliary alpha item).
     """
     api = _get_api(bit_depth)
     h, w = y.shape
-    assert cb.shape == cr.shape == (h // 2, w // 2)
+    mono = csp == "i400"
     dt = np.uint8 if bit_depth == 8 else np.uint16
     y = np.ascontiguousarray(y, dtype=dt)
-    cb = np.ascontiguousarray(cb, dtype=dt)
-    cr = np.ascontiguousarray(cr, dtype=dt)
+    if mono:
+        cb = cr = None
+    else:
+        assert cb.shape == cr.shape == (h // 2, w // 2)
+        cb = np.ascontiguousarray(cb, dtype=dt)
+        cr = np.ascontiguousarray(cr, dtype=dt)
 
     param = api.param_alloc()
     if not param:
@@ -186,7 +194,7 @@ def encode_i_frame(
         # fixed by which api table we fetched, pic.bitDepth covers input)
         setp("input-res", f"{w}x{h}")
         setp("fps", "1")
-        setp("input-csp", "i420")
+        setp("input-csp", csp)
         base = {
             "qp": str(qp),
             "keyint": "1",
@@ -207,8 +215,13 @@ def encode_i_frame(
         base.update(options or {})
         for k, v in base.items():
             setp(k, v)
-        prof = b"main" if bit_depth == 8 else b"main10"
-        if api.param_apply_profile(param, prof) != 0:
+        if mono:
+            # 4:0:0 needs a Rext profile; let the encoder derive it from
+            # the csp instead of forcing main/main10
+            prof = None
+        else:
+            prof = b"main" if bit_depth == 8 else b"main10"
+        if prof is not None and api.param_apply_profile(param, prof) != 0:
             raise RuntimeError(f"profile {prof!r} rejected")
 
         enc = api.encoder_open(param)
@@ -236,12 +249,18 @@ def encode_i_frame(
                 api.picture_init(param, pic)
                 pp = ctypes.cast(pic, POINTER(_PicturePrefix)).contents
                 pp.planes[0] = y.ctypes.data
-                pp.planes[1] = cb.ctypes.data
-                pp.planes[2] = cr.ctypes.data
                 nbytes = 1 if bit_depth == 8 else 2
                 pp.stride[0] = w * nbytes
-                pp.stride[1] = (w // 2) * nbytes
-                pp.stride[2] = (w // 2) * nbytes
+                if mono:
+                    pp.planes[1] = None
+                    pp.planes[2] = None
+                    pp.stride[1] = 0
+                    pp.stride[2] = 0
+                else:
+                    pp.planes[1] = cb.ctypes.data
+                    pp.planes[2] = cr.ctypes.data
+                    pp.stride[1] = (w // 2) * nbytes
+                    pp.stride[2] = (w // 2) * nbytes
                 pp.bitDepth = bit_depth
 
                 rc = api.encoder_encode(

@@ -1,0 +1,199 @@
+"""Container-level fixtures built with the in-repo muxer (utils.heif_mux).
+
+Round-4 coverage: the bugs the round-3 review demonstrated were invisible
+precisely because Main-10 / monochrome / grid geometries were only ever
+tested as raw Annex-B streams. These tests drive the full
+HeicDecoder.decode() container API and cross-check bit-exact against
+single-threaded libde265 (the oracle doctrine of the reference,
+/root/reference/tests/libheif_comparison.rs, extended to pixels).
+"""
+
+import numpy as np
+import pytest
+
+from heif_tpu.models.decoder import HeicDecoder
+from heif_tpu.utils import oracle, x265enc
+from heif_tpu.utils.heif_mux import mux_heic
+
+
+def _have_x265(bd=8):
+    return x265enc.available(bd)
+
+
+def _planes(rng, h, w, bd=8):
+    mx = (1 << bd) - 1
+    y = rng.integers(0, mx + 1, (h, w), np.int32)
+    y = (y + np.roll(y, 1, 0) + np.roll(y, 1, 1) + np.roll(y, 2, 1)) // 4
+    cb = rng.integers(mx // 4, 3 * mx // 4, (h // 2, w // 2), np.int32)
+    cr = rng.integers(mx // 4, 3 * mx // 4, (h // 2, w // 2), np.int32)
+    dt = np.uint8 if bd == 8 else np.uint16
+    return y.astype(dt), cb.astype(dt), cr.astype(dt)
+
+
+@pytest.mark.skipif(not _have_x265(), reason="libx265 unavailable")
+def test_8bit_container_roundtrip():
+    rng = np.random.default_rng(3)
+    s = x265enc.encode_i_frame(*_planes(rng, 128, 192), qp=28)
+    heic = mux_heic([s])
+    out = HeicDecoder.decode(heic, backend="ref")
+    ref = oracle.decode_heic_via_de265(heic)
+    for k in ("Y", "Cb", "Cr"):
+        assert np.array_equal(out[k], ref[k]), k
+
+
+@pytest.mark.skipif(not _have_x265(10), reason="10-bit libx265 unavailable")
+def test_main10_container_uint16():
+    """Main-10 through the container API: uint16 stitch (round-3 weak #3)
+    and the native 10-bit entropy QP wrap (round-3 weak #2)."""
+    rng = np.random.default_rng(5)
+    s = x265enc.encode_i_frame(
+        *_planes(rng, 128, 192, bd=10), qp=24, bit_depth=10
+    )
+    heic = mux_heic([s])
+    out = HeicDecoder.decode(heic, backend="ref")
+    assert out["Y"].dtype == np.uint16
+    ref = oracle.decode_heic_via_de265(heic)
+    for k in ("Y", "Cb", "Cr"):
+        assert np.array_equal(out[k], ref[k]), k
+
+
+@pytest.mark.skipif(not _have_x265(), reason="libx265 unavailable")
+def test_monochrome_container():
+    """4:0:0 decode (round-3 missing #3): luma-only, Cb/Cr None."""
+    rng = np.random.default_rng(7)
+    y, _, _ = _planes(rng, 128, 192)
+    s = x265enc.encode_i_frame(y, None, None, qp=28, csp="i400")
+    heic = mux_heic([s])
+    out = HeicDecoder.decode(heic, backend="ref")
+    assert out["Cb"] is None and out["Cr"] is None
+    ref = oracle.decode_heic_via_de265(heic)
+    assert np.array_equal(out["Y"], ref["Y"])
+
+
+@pytest.mark.skipif(not _have_x265(), reason="libx265 unavailable")
+def test_grid_idat_container_ctb64():
+    """2x2 grid with idat-constructed config (the reference's todo!,
+    src/heif/reader.rs:42) at CTB 64 — regression for the strong-intra-
+    smoothing bilinear off-by-one this suite previously missed."""
+    rng = np.random.default_rng(9)
+    H, W = 128, 192
+    streams = [
+        x265enc.encode_i_frame(*_planes(rng, H, W), qp=30) for _ in range(4)
+    ]
+    heic = mux_heic(streams, grid=(2, 2, 2 * W - 8, 2 * H - 6))
+    out = HeicDecoder.decode(heic, backend="ref")
+    ref = oracle.decode_heic_via_de265(heic)
+    for k in ("Y", "Cb", "Cr"):
+        assert np.array_equal(out[k], ref[k]), k
+
+
+@pytest.mark.skipif(not _have_x265(), reason="libx265 unavailable")
+def test_multi_nal_sei_skipped_and_multi_vcl_rejected():
+    """Items may carry non-VCL NALs alongside the slice (decoded fine);
+    >1 VCL NAL fails loudly like the reference
+    (src/heic/decoder.rs:152-157) — round-3 weak #7."""
+    rng = np.random.default_rng(11)
+    s = x265enc.encode_i_frame(*_planes(rng, 64, 64), qp=30)
+    # a minimal prefix-SEI NAL (type 39): payload type 5 (user data),
+    # size 4, payload, rbsp stop bit
+    sei = bytes([39 << 1, 1, 5, 4, 0xDE, 0xAD, 0xBE, 0xEF, 0x80])
+    heic = mux_heic([s], extra_item_nals=[sei])
+    out = HeicDecoder.decode(heic, backend="ref")
+    ref = oracle.decode_heic_via_de265(heic)
+    assert np.array_equal(out["Y"], ref["Y"])
+
+    # two VCL NALs in one item -> loud error
+    from heif_tpu.hevc.slice import split_annexb_nals
+
+    vcl = [
+        n for n in split_annexb_nals(s) if ((n[0] >> 1) & 0x3F) <= 31
+    ]
+    heic2 = mux_heic([s], extra_item_nals=[vcl[0]])
+    with pytest.raises(ValueError, match="VCL"):
+        HeicDecoder.decode(heic2, backend="ref")
+
+
+@pytest.mark.skipif(not _have_x265(), reason="libx265 unavailable")
+def test_native_wide_picture_regression():
+    """>512-wide picture through the native entropy path (the round-2
+    ct_depth_buf overflow class, entropy.cpp:402) — round-3 weak #5."""
+    from heif_tpu import native
+
+    if not native.available():
+        pytest.skip("native entropy unavailable")
+    rng = np.random.default_rng(13)
+    s = x265enc.encode_i_frame(*_planes(rng, 64, 1024), qp=30)
+    out = HeicDecoder.decode_hevc(s, backend="ref")
+    ref = oracle.decode_hevc_annexb(s)
+    assert np.array_equal(out["Y"], ref[0])
+    assert np.array_equal(out["Cb"], ref[1])
+    assert np.array_equal(out["Cr"], ref[2])
+
+
+def test_monochrome_aux_item_halfmoonbay():
+    """The flagship file's own auxiliary 4:0:0 item (item 52, 2016x1512)
+    — the one item round 3 could not decode (round-3 missing #3)."""
+    data = open("tests/assets/halfmoonbay.heic", "rb").read()
+    out = HeicDecoder.decode(data, item_id=52, backend="ref",
+                             apply_rotation=False)
+    assert out["Cb"] is None
+    from heif_tpu.container.reader import HeifReader
+
+    r = HeifReader(data)
+    heif = r.read()
+    rec = heif.hevc_configuration_record(52)
+    ps_nals = [
+        arr[0] for t in (32, 33, 34) if (arr := rec.nal_units_of_type(t))
+    ]
+    payload = r.get_item_data(52)
+    ls = rec.length_size_minus_one + 1
+    nals, pos = [], 0
+    while pos < len(payload):
+        ln = int.from_bytes(payload[pos : pos + ls], "big")
+        nals.append(payload[pos + ls : pos + ls + ln])
+        pos += ls + ln
+    ref = oracle.decode_tile_nals(ps_nals, nals)
+    assert out["Y"].shape == ref[0].shape
+    assert np.array_equal(out["Y"], ref[0])
+
+
+@pytest.mark.skipif(not _have_x265(10), reason="10-bit libx265 unavailable")
+def test_main10_twins_with_cu_qp_delta():
+    """10-bit twin equality on an adaptive-QP stream (cu_qp_delta with
+    QpBdOffsetY=12 exercises the §8.6.1 wrap in both twins)."""
+    from heif_tpu import native
+    from heif_tpu.cabac.syntax import TileSyntaxDecoder
+    from heif_tpu.hevc import params
+    from heif_tpu.hevc import slice as sl
+    from heif_tpu.hevc.rbsp import remove_emulation_prevention
+
+    if not native.available():
+        pytest.skip("native entropy unavailable")
+    rng = np.random.default_rng(17)
+    s = x265enc.encode_i_frame(
+        *_planes(rng, 128, 128, bd=10),
+        qp=30,
+        bit_depth=10,
+        options={"aq-mode": "2", "aq-strength": "3"},
+    )
+    sps = pps = slice_nal = None
+    for nal in sl.split_annexb_nals(s):
+        kind = (nal[0] >> 1) & 0x3F
+        if kind == 33:
+            sps = params.parse_sps(remove_emulation_prevention(nal[2:]))
+        elif kind == 34:
+            pps = params.parse_pps(remove_emulation_prevention(nal[2:]))
+        elif kind <= 31 and slice_nal is None:
+            slice_nal = nal
+    ps = sl.parse_slice_header(slice_nal, sps, pps)
+    stp = TileSyntaxDecoder(sps, pps, ps).decode()
+    stn = native.decode_tile_native(sps, pps, ps)
+    assert np.array_equal(stp.tu_table, stn.tu_table)
+    for c in range(3):
+        assert np.array_equal(stp.coeffs[c], stn.coeffs[c])
+    assert np.array_equal(stp.qp_y, stn.qp_y)
+    # and the full decode is bit-exact vs libde265
+    out = HeicDecoder.decode_hevc(s, backend="ref")
+    ref = oracle.decode_hevc_annexb(s)
+    for c, k in enumerate(("Y", "Cb", "Cr")):
+        assert np.array_equal(out[k], ref[c]), k

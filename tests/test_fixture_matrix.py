@@ -177,6 +177,27 @@ class TestPcmFixtures:
         assert np.array_equal(got["Cb"], cb)
         assert np.array_equal(got["Cr"], cr)
 
+    def test_cra_bit_exact(self):
+        """CRA_NUT picture: exercises the non-IDR IRAP slice-header path
+        (slice_pic_order_cnt_lsb + st_ref_pic_set, hevc/slice.py) that no
+        encoded fixture previously reached (round-3 missing #5; reference
+        anchor src/hevc/slice.rs:52-57)."""
+        from heif_tpu.utils import hevc_synth
+
+        rng = np.random.default_rng(21)
+        y = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+        cb = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        cr = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        stream = hevc_synth.synthesize_pcm_stream(y, cb, cr, nal_type=21)
+
+        want = oracle.decode_hevc_annexb(stream)
+        assert np.array_equal(want[0], y)  # conformant per the oracle
+
+        got = HeicDecoder.decode_hevc(stream)
+        assert np.array_equal(got["Y"], y)
+        assert np.array_equal(got["Cb"], cb)
+        assert np.array_equal(got["Cr"], cr)
+
     def test_pcm_python_entropy_twin(self):
         """Force the pure-Python syntax decoder (oracle twin)."""
         from heif_tpu.cabac.syntax import TileSyntaxDecoder
