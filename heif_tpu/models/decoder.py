@@ -256,9 +256,20 @@ class HeicDecoder:
         if not good:
             raise ValueError("no decodable tiles")
 
+        # scheduler hints from the stream's declared parallelism metadata
+        # (hvcC parallelism_type / min_spatial_segmentation_idc)
+        from heif_tpu.ops.batch import schedule_hints
+
+        hints = schedule_hints(rec, sps, pps, len(tile_ids))
+        if stats is not None:
+            stats.scheduler = hints
+
         def entropy(parsed):
             if native.available():
-                return native.decode_tiles_parallel(sps, pps, parsed)
+                return native.decode_tiles_parallel(
+                    sps, pps, parsed,
+                    max_workers=hints.get("entropy_workers"),
+                )
             return [TileSyntaxDecoder(sps, pps, ps).decode() for ps in parsed]
 
         if isolate_tile_errors:

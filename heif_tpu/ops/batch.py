@@ -535,8 +535,11 @@ def _core(
 
     # ---- stage 3: deblock ----
     if not deblock_disabled:
-        ne = W // 8 - 1
-        cols = 2 * jnp.arange(ne) + 2
+        # vertical edges index by W, the transposed (horizontal) pass by
+        # H — distinct for non-square pictures (using W for both crashed
+        # any non-square picture through the batched path)
+        cols = 2 * jnp.arange(W // 8 - 1) + 2
+        rows = 2 * jnp.arange(H // 8 - 1) + 2
         lv = jax.vmap(
             partial(
                 J._deblock_luma_pass, beta_off=beta_off, tc_off=tc_off,
@@ -557,18 +560,18 @@ def _core(
         y = jnp.swapaxes(
             lv(
                 jnp.swapaxes(y, 1, 2),
-                hT[:, :, cols],
-                qT[:, :, cols - 1],
-                qT[:, :, cols],
-                nT[:, :, cols - 1],
-                nT[:, :, cols],
+                hT[:, :, rows],
+                qT[:, :, rows - 1],
+                qT[:, :, rows],
+                nT[:, :, rows - 1],
+                nT[:, :, rows],
             ),
             1, 2,
         )
         planes[0] = y
 
-        nec = Wc // 8 - 1
-        ccols = 4 * jnp.arange(nec) + 4
+        ccols = 4 * jnp.arange(Wc // 8 - 1) + 4
+        crows = 4 * jnp.arange(Hc // 8 - 1) + 4
         cv = jax.vmap(
             partial(J._deblock_chroma_pass, tc_off=tc_off, bd=bd_c)
         )
@@ -582,15 +585,15 @@ def _core(
                 nf_map[:, :, ccols - 1],
                 nf_map[:, :, ccols],
             )
-            qp_avgT = (qT[:, :, ccols - 1] + qT[:, :, ccols] + 1) >> 1
+            qp_avgT = (qT[:, :, crows - 1] + qT[:, :, crows] + 1) >> 1
             qpcT = J._onehot_take(J._CHROMA_QP_LUT, jnp.clip(qp_avgT + c_off, 0, 57), 58)
             p = jnp.swapaxes(
                 cv(
                     jnp.swapaxes(p, 1, 2),
-                    hT[:, :, ccols],
+                    hT[:, :, crows],
                     qpcT,
-                    nT[:, :, ccols - 1],
-                    nT[:, :, ccols],
+                    nT[:, :, crows - 1],
+                    nT[:, :, crows],
                 ),
                 1, 2,
             )
@@ -664,6 +667,53 @@ def _pallas_ok(bp: BatchPlan) -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def schedule_hints(rec, sps, pps, n_tiles: int) -> dict:
+    """Scheduler inputs from the stream's declared parallelism hints
+    (SURVEY.md §2.2 'stream hints' row; the reference parses these at
+    src/hevc/grammar.rs:186-191 and never uses them).
+
+    rec: container hvcC record (or None for raw streams). Returns
+    {chunk, entropy_workers, parallelism_type,
+    min_spatial_segmentation_idc}, consumed by the decode orchestrator
+    and recorded in DecodeStats.scheduler.
+    """
+    import os as _os
+
+    ptype = getattr(rec, "parallelism_type", 0) if rec else 0
+    mss = getattr(rec, "min_spatial_segmentation_idc", 0) if rec else 0
+    ncpu = _os.cpu_count() or 2
+    # WPP (declared via ptype 3, or authoritative in the PPS) means each
+    # tile's CTB rows entropy-decode in parallel substreams, so worker
+    # threads can exceed the tile count; without it, tiles are the only
+    # parallel axis.
+    wpp = ptype == 3 or bool(
+        getattr(pps, "entropy_coding_sync_enabled_flag", False)
+    )
+    rows = max(int(getattr(sps, "pic_height_in_ctbs_y", 1)), 1)
+    if wpp:
+        workers = min(max(n_tiles, 1) * rows, ncpu)
+    else:
+        workers = min(max(n_tiles, 1), ncpu)
+    # min_spatial_segmentation_idc bounds the smallest independently
+    # decodable region (ISO 14496-15 §A.3.2): segments smaller than one
+    # tile mean finer pipelining pays — use smaller chunks so the first
+    # device dispatch starts earlier.
+    chunk = 16
+    if mss:
+        seg = (4 * sps.pic_width_in_luma_samples
+               * sps.pic_height_in_luma_samples) // (mss + 4)
+        tile_px = (sps.pic_width_in_luma_samples
+                   * sps.pic_height_in_luma_samples)
+        if seg < tile_px:
+            chunk = 8
+    return {
+        "chunk": chunk,
+        "entropy_workers": workers,
+        "parallelism_type": ptype,
+        "min_spatial_segmentation_idc": mss,
+    }
 
 
 # coefficient exception cap per chunk for the int8 wire format: levels
@@ -1072,7 +1122,7 @@ def _flatten_jit(y, cb, cr):
 
 def decode_reconstruct_overlapped(
     sps, pps, slices, entropy_fn=None, chunk: int | None = None,
-    readback: bool = True, stats=None,
+    readback: bool = True, stats=None, hints: dict | None = None,
 ) -> list:
     """Full tile decode with host entropy overlapped against device compute.
 
@@ -1098,13 +1148,18 @@ def decode_reconstruct_overlapped(
 
     from heif_tpu import native
 
+    if hints is None:
+        hints = schedule_hints(None, sps, pps, len(slices))
+    if stats is not None:
+        stats.scheduler = hints
     if entropy_fn is None:
         if native.available():
             # pack_pad=PAD: the native path also pre-packs each tile
             # (class blocks + scan fields) inside the entropy worker
             # threads, so pack_batch reduces to segment memcpys
+            workers = hints.get("entropy_workers")
             entropy_fn = lambda ps: native.decode_tiles_parallel(
-                sps, pps, ps, pack_pad=PAD
+                sps, pps, ps, pack_pad=PAD, max_workers=workers
             )
         else:
             from heif_tpu.cabac.syntax import TileSyntaxDecoder
@@ -1128,8 +1183,10 @@ def decode_reconstruct_overlapped(
         # one shared default for both the readback and decode-to-device
         # paths: a single compiled program shape per geometry (cold AOT
         # compiles on the tunneled compile service cost 1-10 minutes, so
-        # one extra program shape dwarfs any overlap tuning win)
-        chunk = 16
+        # one extra program shape dwarfs any overlap tuning win). Stream
+        # hints may shrink it (min_spatial_segmentation_idc, see
+        # schedule_hints).
+        chunk = hints.get("chunk", 16)
     chunks = [slices[lo : lo + chunk] for lo in range(0, n, chunk)]
     key = (
         sps.pic_width_in_luma_samples,

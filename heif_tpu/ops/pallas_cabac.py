@@ -25,13 +25,20 @@ Memory/VPU mapping notes:
 - Tables 9-45/9-46 are packed into one [256]-row constant: transIdxMps |
   transIdxLps<<8 | rangeTabLps<<16, so each bin needs ONE table select.
 
-Measured (v5e, real halfmoonbay streams, bit-exact incl. final ctx state):
-~85us per 128-lane bin step (~1.5 Mbins/s at full occupancy). The cost is
-dominated by per-lane dynamic addressing (stream-word fetch and context
-read/write are iota-mask reductions — TPU vector memory has no per-lane
-hardware gather). The production entropy path therefore remains the C++
-host decoder (heif_tpu/native, ~30 Mbins/s/core scalar); this kernel is
-the on-device engine foundation the staged device syntax layer builds on.
+Measured (v5e, ALL 768 real halfmoonbay WPP streams — 48 tiles x 16 rows,
+15.36M bins — bit-exact incl. final context state): **~46 Mbins/s real
+aggregate** (~56 Mbins/s padded; length-sorted lane batches keep padding
+waste at 1.23x), ~2.4us per 128-lane bin step. Measurement discipline
+matters on tunneled runtimes: repeated executions with identical inputs
+are content-cached and `block_until_ready` alone is not a reliable
+completion barrier, so `bench_device_entropy` times launches with fresh
+inputs per rep and forces execution with a checksum readback. The
+remaining per-bin cost is per-lane dynamic addressing (stream-word fetch
+and context read/write are iota-mask reductions over [W,128]/[136,128]
+planes — TPU vector memory has no per-lane gather), so throughput rises
+as stream windows shrink. The C++ host decoder (heif_tpu/native) remains
+the default production entropy path on CPU-rich hosts; this engine makes
+device-side entropy a real alternative at ~1.5x a single host core.
 """
 
 from __future__ import annotations
@@ -312,23 +319,150 @@ def bench_replay_device(
         kinds = np.concatenate([kinds, pad], axis=1)
         slots = np.concatenate([slots, np.zeros_like(pad)], axis=1)
     fn = _replay_call(B, W, S_pad, blk, False)
-    args = (
-        _tbl_device(), jnp.asarray(words), jnp.asarray(c0),
-        jnp.asarray(kinds), jnp.asarray(slots),
-    )
-    jax.block_until_ready(args)
-    out = fn(*args)
+    # distinct argument sets per rep: the tunneled runtime content-caches
+    # repeated executions with identical inputs, which would make
+    # repeat timings measure the cache, not the kernel
+    argsets = []
+    for rep in range(reps + 1):
+        w = words.copy()
+        w[:, -1, :] ^= rep + 1  # tail word: never reached by real tapes
+        argsets.append((
+            _tbl_device(), jnp.asarray(w), jnp.asarray(c0),
+            jnp.asarray(kinds), jnp.asarray(slots),
+        ))
+    jax.block_until_ready(argsets)
+    out = fn(*argsets[0])
     jax.block_until_ready(out)  # compile + warm
     best = float("inf")
-    for _ in range(reps):
+    for rep in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*argsets[rep + 1])
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     steps = B * S_pad
     us_per_step = best / S_pad * 1e6
     mbins = steps * LANES / best / 1e6
     return mbins, us_per_step
+
+
+# --------------------------------------------------------------------------
+# Whole-image replay: sorted lane batches over every (tile, WPP-row) stream
+# --------------------------------------------------------------------------
+
+
+def pack_sorted_batches(entries, blk: int = 1024):
+    """Pack (rbsp, TraceSegment) pairs into 128-lane batches grouped by
+    tape length (sorting keeps the per-batch pad target close to each
+    lane's real length; unsorted packing wastes ~2.2x on halfmoonbay,
+    sorted ~1.2x). Returns a list of dicts with the packed arrays and the
+    batch's (entry, lane) assignment."""
+    order = sorted(range(len(entries)), key=lambda i: entries[i][1].n_bins)
+    out = []
+    for lo in range(0, len(order), LANES):
+        idx = order[lo : lo + LANES]
+        batch = [entries[i] for i in idx]
+        max_bytes = max(s.byte_end - s.byte_start for _, s in batch)
+        W = -(-(max_bytes + 8) // 4)
+        W = -(-W // 8) * 8
+        by = np.zeros((W * 4, LANES), np.uint8)
+        S = max(s.n_bins for _, s in batch)
+        S_pad = -(-S // blk) * blk
+        kinds = np.full((S_pad, LANES), KIND_PAD, np.int32)
+        slots = np.zeros((S_pad, LANES), np.int32)
+        c0 = np.zeros((N_CTX, LANES), np.int32)
+        for i, (rbsp, s) in enumerate(batch):
+            chunk = np.frombuffer(rbsp[s.byte_start : s.byte_end], np.uint8)
+            by[: chunk.size, i] = chunk
+            kinds[: s.n_bins, i] = s.kinds
+            slots[: s.n_bins, i] = s.slots
+            c0[:, i] = s.p0.astype(np.int32) | (s.mps0.astype(np.int32) << 6)
+        w32 = by.reshape(W, 4, LANES).astype(np.uint32)
+        words = (
+            (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8)
+            | w32[:, 3]
+        ).view(np.int32)
+        out.append({
+            "words": words, "c0": c0, "kinds": kinds, "slots": slots,
+            "W": W, "S_pad": S_pad, "entry_idx": idx,
+        })
+    return out
+
+
+def replay_image(entries, blk: int = 1024, interpret: bool = False):
+    """Replay every stream of an image (list of (rbsp, TraceSegment));
+    returns per-entry (bins, p_final, mps_final) in input order."""
+    packed = pack_sorted_batches(entries, blk=blk)
+    results = [None] * len(entries)
+    for b in packed:
+        bins, state = cabac_replay_batch(
+            b["words"], b["c0"], b["kinds"], b["slots"],
+            blk=blk, interpret=interpret,
+        )
+        for lane, ei in enumerate(b["entry_idx"]):
+            s = entries[ei][1]
+            results[ei] = (
+                bins[: s.n_bins, lane].astype(np.uint8),
+                (state[:, lane] & 63).astype(np.uint8),
+                (state[:, lane] >> 6).astype(np.uint8),
+            )
+    return results
+
+
+def bench_device_entropy(entries, blk: int = 1024, reps: int = 3):
+    """Honest aggregate device-entropy throughput over all streams of an
+    image. Fresh inputs per rep (the tunneled runtime content-caches
+    identical executions) and a checksum readback per launch (execution
+    barrier `block_until_ready` alone does not reliably await the work).
+    Returns (real_mbins_per_s, padded_mbins_per_s, wall_s)."""
+    import time
+
+    packed = pack_sorted_batches(entries, blk=blk)
+    total_bins = sum(s.n_bins for _, s in entries)
+    pad_steps = sum(b["S_pad"] for b in packed)
+
+    def make_fn(W, S_pad):
+        call = _replay_call(1, W, S_pad, blk, False)
+
+        def f(tbl, w, c0, k, s):
+            bins, state = call(tbl, w, c0, k, s)
+            return (
+                jnp.sum(bins, dtype=jnp.int32),
+                jnp.sum(state, dtype=jnp.int32),
+            )
+
+        return jax.jit(f)
+
+    fns = [make_fn(b["W"], b["S_pad"]) for b in packed]
+
+    def argset(rep):
+        out = []
+        for b in packed:
+            w = b["words"].copy()
+            w[-1, :] ^= rep + 1  # tail word, never consumed by real tapes
+            out.append((
+                _tbl_device(), jnp.asarray(w[None]),
+                jnp.asarray(b["c0"][None]), jnp.asarray(b["kinds"][None]),
+                jnp.asarray(b["slots"][None]),
+            ))
+        return out
+
+    outs = [fn(*a) for fn, a in zip(fns, argset(0))]
+    chk0 = [(int(x[0]), int(x[1])) for x in outs]  # compile + warm
+    best = float("inf")
+    for rep in range(reps):
+        a = argset(rep + 1)
+        jax.block_until_ready(a)
+        t0 = time.perf_counter()
+        outs = [fn(*arg) for fn, arg in zip(fns, a)]
+        chk = [(int(x[0]), int(x[1])) for x in outs]
+        dt = time.perf_counter() - t0
+        assert chk == chk0, "nondeterministic replay?!"
+        best = min(best, dt)
+    return (
+        total_bins / best / 1e6,
+        pad_steps * LANES / best / 1e6,
+        best,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -32,6 +32,10 @@ class DecodeStats:
     bins: int = 0  # CABAC bins decoded (entropy stage)
     ctus: int = 0
     n_devices: int = 1
+    # scheduler inputs derived from the stream's declared parallelism
+    # hints (ops.batch.schedule_hints): chunk, entropy_workers,
+    # parallelism_type, min_spatial_segmentation_idc
+    scheduler: dict = field(default_factory=dict)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -71,6 +75,8 @@ class DecodeStats:
         }
         if self.errors:
             d["errors"] = self.errors
+        if self.scheduler:
+            d["scheduler"] = self.scheduler
         d.update({k: round(v, 1) for k, v in self.rates().items()})
         return d
 

@@ -157,6 +157,48 @@ def test_monochrome_aux_item_halfmoonbay():
     assert np.array_equal(out["Y"], ref[0])
 
 
+@pytest.mark.skipif(not _have_x265(), reason="libx265 unavailable")
+def test_monochrome_jax_backend():
+    """4:0:0 through the batched jax path (dummy chroma planes ride
+    along; decoder drops them)."""
+    rng = np.random.default_rng(29)
+    y, _, _ = _planes(rng, 64, 96)
+    s = x265enc.encode_i_frame(y, None, None, qp=28, csp="i400")
+    heic = mux_heic([s])
+    out = HeicDecoder.decode(heic, backend="jax")
+    assert out["Cb"] is None
+    ref = oracle.decode_heic_via_de265(heic)
+    assert np.array_equal(out["Y"], ref["Y"])
+
+
+@pytest.mark.skipif(not _have_x265(), reason="libx265 unavailable")
+def test_nonsquare_jax_backend():
+    """Non-square picture through the batched jax path — regression for
+    the deblock transposed-pass using W-derived edge indices for both
+    axes (crashed on any H != W picture)."""
+    rng = np.random.default_rng(31)
+    s = x265enc.encode_i_frame(*_planes(rng, 64, 160), qp=30)
+    out = HeicDecoder.decode_hevc(s, backend="jax")
+    ref = oracle.decode_hevc_annexb(s)
+    for c, k in enumerate(("Y", "Cb", "Cr")):
+        assert np.array_equal(out[k], ref[c]), k
+
+
+def test_schedule_hints_recorded():
+    """Stream parallelism hints drive the scheduler and land in stats
+    (round-3 'stream hints' partial; ref src/hevc/grammar.rs:186-191)."""
+    from heif_tpu.utils.profiling import DecodeStats
+
+    data = open("tests/assets/halfmoonbay.heic", "rb").read()
+    stats = DecodeStats()
+    HeicDecoder.decode(data, backend="ref", stats=stats)
+    sch = stats.scheduler
+    assert sch, "scheduler hints not recorded"
+    assert sch["entropy_workers"] >= 1
+    assert "parallelism_type" in sch
+    assert "min_spatial_segmentation_idc" in sch
+
+
 @pytest.mark.skipif(not _have_x265(10), reason="10-bit libx265 unavailable")
 def test_main10_twins_with_cu_qp_delta():
     """10-bit twin equality on an adaptive-QP stream (cu_qp_delta with

