@@ -66,17 +66,11 @@ class TileSyntaxDecoder:
                 "(only 4:0:0 and 4:2:0)"
             )
         self.has_chroma = sps.chroma_format_idc == 1
-        if pps.tiles_enabled_flag:
-            # tile-segmented pictures interleave substreams per tile
-            # column; decoding them with the raster CTU loop would
-            # silently desync — refuse instead (parse-level support for
-            # the PPS tile geometry exists, decode does not; mirrors the
-            # reference which parses but never decodes tiles,
-            # src/hevc/parameter_set_reader.rs:383-412)
+        if pps.tiles_enabled_flag and pps.entropy_coding_sync_enabled_flag:
+            # tiles+WPP simultaneously is legal but needs per-tile
+            # per-row substream bookkeeping this decoder doesn't carry
             raise NotImplementedError(
-                "tiles_enabled_flag=1 bitstreams are not supported "
-                "(PPS tile geometry is parsed, tile-segmented decode "
-                "is not)"
+                "tiles + entropy_coding_sync in one PPS is not supported"
             )
 
         self.W = sps.pic_width_in_luma_samples
@@ -122,6 +116,22 @@ class TileSyntaxDecoder:
             np.zeros((self.H >> 1, self.W >> 1), dtype=np.uint16),
         ]
 
+        # tiles (§6.5.1): per-CTB tile ids + tile-scan CTB order. The
+        # reference parses this PPS geometry but never decodes it
+        # (src/hevc/parameter_set_reader.rs:383-412); here tiles decode
+        # with per-tile substreams, context re-init, and tile-aware
+        # neighbor availability (§6.4.1).
+        self.tiles_on = pps.tiles_enabled_flag
+        if self.tiles_on:
+            self.tile_map = pps.tile_id_map(sps)
+            self.ctb_order = pps.ctb_tile_scan(sps)
+        else:
+            self.tile_map = None
+            self.ctb_order = [
+                (a % self.ctbs_x, a // self.ctbs_x)
+                for a in range(self.ctbs_x * self.ctbs_y)
+            ]
+
         # engine
         self.engine = CabacEngine(self.rbsp, *self.substreams[0])
         self._wpp_snapshot = None
@@ -157,6 +167,17 @@ class TileSyntaxDecoder:
     def _bin(self, element: str, inc: int = 0) -> int:
         return self.engine.decode_bin(CTX_OFFSET[element] + inc)
 
+    def _same_tile(self, x0: int, y0: int, x1: int, y1: int) -> bool:
+        """§6.4.1: a neighbor in a different tile is unavailable.
+        Coordinates are luma samples."""
+        if not self.tiles_on:
+            return True
+        cl = self.ctb_log2
+        return (
+            self.tile_map[y0 >> cl][x0 >> cl]
+            == self.tile_map[y1 >> cl][x1 >> cl]
+        )
+
     # ------------------------------------------------------------------
     # top level
     # ------------------------------------------------------------------
@@ -168,10 +189,24 @@ class TileSyntaxDecoder:
         eng.start()
         eng.init_contexts(self.slice_qp_y)
 
+        cur_tile = 0
         for addr in range(n_ctb):
-            x = addr % self.ctbs_x
-            y = addr // self.ctbs_x
-            if wpp and x == 0 and y > 0:
+            x, y = self.ctb_order[addr]
+            if self.tiles_on:
+                t = self.tile_map[y][x]
+                if t != cur_tile:
+                    # new tile: jump to its substream, spec re-init ctx
+                    # (no inheritance across tiles, §9.3.1), reset
+                    # qPY_PREV and close the open QG
+                    cur_tile = t
+                    start, end = self.substreams[t]
+                    eng.bit_pos = start * 8
+                    eng.bit_end = end * 8
+                    eng.start()
+                    eng.init_contexts(self.slice_qp_y)
+                    self._finalize_qg()
+                    self.last_cu_qp = self.slice_qp_y
+            elif wpp and x == 0 and y > 0:
                 # new WPP substream: jump to entry point, re-init engine,
                 # inherit contexts from after 2nd CTU of the row above
                 start, end = self.substreams[y]
@@ -195,10 +230,19 @@ class TileSyntaxDecoder:
                     f"end_of_slice_segment_flag={end_flag} at CTU {addr} "
                     f"(of {n_ctb}) — desync"
                 )
-            if not last and wpp and x == self.ctbs_x - 1:
-                if eng.decode_terminate() != 1:
+            if not last:
+                # end_of_subset_one_bit + alignment at tile / WPP-row ends
+                at_subset_end = (
+                    self.tiles_on
+                    and self.tile_map[self.ctb_order[addr + 1][1]][
+                        self.ctb_order[addr + 1][0]
+                    ]
+                    != cur_tile
+                ) or (wpp and x == self.ctbs_x - 1)
+                if at_subset_end and eng.decode_terminate() != 1:
                     raise DecodeError(
-                        f"end_of_subset_one_bit==0 at row {y} end — desync"
+                        f"end_of_subset_one_bit==0 after CTU ({x},{y}) "
+                        "— desync"
                     )
         self._finalize_qg()
         return self._finish()
@@ -239,10 +283,19 @@ class TileSyntaxDecoder:
 
     def _sao(self, rx: int, ry: int) -> None:
         eng = self.engine
+        cl = self.ctb_log2
         merge_left = merge_up = 0
-        if rx > 0:
+        # merge candidates must lie in the same tile (§7.3.8.3
+        # leftCtbInTile / upCtbInTile)
+        if rx > 0 and self._same_tile((rx - 1) << cl, ry << cl,
+                                      rx << cl, ry << cl):
             merge_left = self._bin("sao_merge")
-        if not merge_left and ry > 0:
+        if (
+            not merge_left
+            and ry > 0
+            and self._same_tile(rx << cl, (ry - 1) << cl,
+                                rx << cl, ry << cl)
+        ):
             merge_up = self._bin("sao_merge")
         if merge_left:
             self.sao_params[ry, rx] = self.sao_params[ry, rx - 1]
@@ -321,12 +374,21 @@ class TileSyntaxDecoder:
         right_in = x0 + (1 << log2_size) <= self.W
         bottom_in = y0 + (1 << log2_size) <= self.H
         if right_in and bottom_in and log2_size > self.min_cb_log2:
-            # split_cu_flag ctx from neighbor depths (§9.3.4.2.2)
+            # split_cu_flag ctx from neighbor depths (§9.3.4.2.2;
+            # availability per §6.4.1 excludes other tiles)
             inc = 0
             g4x, g4y = x0 >> 2, y0 >> 2
-            if x0 > 0 and self.ct_depth[g4y, g4x - 1] > depth:
+            if (
+                x0 > 0
+                and self._same_tile(x0 - 1, y0, x0, y0)
+                and self.ct_depth[g4y, g4x - 1] > depth
+            ):
                 inc += 1
-            if y0 > 0 and self.ct_depth[g4y - 1, g4x] > depth:
+            if (
+                y0 > 0
+                and self._same_tile(x0, y0 - 1, x0, y0)
+                and self.ct_depth[g4y - 1, g4x] > depth
+            ):
                 inc += 1
             split = self._bin("split_cu", inc)
         else:
@@ -476,20 +538,23 @@ class TileSyntaxDecoder:
 
     # -- intra mode derivation (§8.4.2) --------------------------------
 
-    def _neighbor_luma_mode(self, x: int, y: int, cur_y: int) -> int:
-        """candIntraPredModeN for neighbor at (x, y); DC if unavailable,
-        PCM, or (for above) outside the current CTB row."""
+    def _neighbor_luma_mode(self, x: int, y: int, cur_x: int, cur_y: int) -> int:
+        """candIntraPredModeN for neighbor at (x, y); DC if unavailable
+        (incl. different tile, §6.4.1), PCM, or (for above) outside the
+        current CTB row."""
         if x < 0 or y < 0:
             return 1  # INTRA_DC
         if y < (cur_y >> self.ctb_log2) << self.ctb_log2:
             return 1  # above neighbor outside current CTB
+        if not self._same_tile(x, y, cur_x, cur_y):
+            return 1
         if self.pcm_map[y >> 2, x >> 2]:
             return 1
         return int(self.intra_mode_y[y >> 2, x >> 2])
 
     def _derive_intra_mode(self, px, py, mpm_idx, rem) -> int:
-        cand_a = self._neighbor_luma_mode(px - 1, py, py)
-        cand_b = self._neighbor_luma_mode(px, py - 1, py)
+        cand_a = self._neighbor_luma_mode(px - 1, py, px, py)
+        cand_b = self._neighbor_luma_mode(px, py - 1, px, py)
         if cand_a == cand_b:
             if cand_a < 2:
                 cands = [0, 1, 26]

@@ -415,6 +415,62 @@ class PictureParameterSet:
     log2_parallel_merge_level_minus2: int = 0
     slice_segment_header_extension_present_flag: bool = False
 
+    def tile_bounds(self, sps: "SequenceParameterSet"):
+        """Tile column/row CTB boundaries (§6.5.1): returns
+        (col_bd, row_bd) where col_bd has num_tile_columns+1 entries in
+        CTBs (col i spans [col_bd[i], col_bd[i+1])). Uniform spacing uses
+        the spec's integer split; explicit widths fill the remainder into
+        the last column/row."""
+        ctbs_x = sps.pic_width_in_ctbs_y
+        ctbs_y = sps.pic_height_in_ctbs_y
+        nc = self.num_tile_columns_minus1 + 1
+        nr = self.num_tile_rows_minus1 + 1
+        if not self.tiles_enabled_flag:
+            return [0, ctbs_x], [0, ctbs_y]
+        if self.uniform_spacing_flag:
+            col_bd = [(i * ctbs_x) // nc for i in range(nc + 1)]
+            row_bd = [(i * ctbs_y) // nr for i in range(nr + 1)]
+        else:
+            col_bd = [0]
+            for w in self.column_width_minus1:
+                col_bd.append(col_bd[-1] + w + 1)
+            col_bd.append(ctbs_x)
+            row_bd = [0]
+            for h in self.row_height_minus1:
+                row_bd.append(row_bd[-1] + h + 1)
+            row_bd.append(ctbs_y)
+        return col_bd, row_bd
+
+    def tile_id_map(self, sps: "SequenceParameterSet"):
+        """Per-CTB tile id, raster-indexed: list of ctbs_y rows, each a
+        list of ctbs_x ints."""
+        col_bd, row_bd = self.tile_bounds(sps)
+        nc = len(col_bd) - 1
+        out = []
+        for y in range(sps.pic_height_in_ctbs_y):
+            tr = next(i for i in range(len(row_bd) - 1)
+                      if row_bd[i] <= y < row_bd[i + 1])
+            row = []
+            for x in range(sps.pic_width_in_ctbs_y):
+                tc = next(i for i in range(nc)
+                          if col_bd[i] <= x < col_bd[i + 1])
+                row.append(tr * nc + tc)
+            out.append(row)
+        return out
+
+    def ctb_tile_scan(self, sps: "SequenceParameterSet"):
+        """CTB (x, y) coordinates in TILE SCAN order (§6.5.1): tiles in
+        raster order, CTBs raster within each tile. Identity raster scan
+        when tiles are disabled."""
+        col_bd, row_bd = self.tile_bounds(sps)
+        out = []
+        for tr in range(len(row_bd) - 1):
+            for tc in range(len(col_bd) - 1):
+                for y in range(row_bd[tr], row_bd[tr + 1]):
+                    for x in range(col_bd[tc], col_bd[tc + 1]):
+                        out.append((x, y))
+        return out
+
 
 @dataclass
 class SliceSegmentHeader:

@@ -264,8 +264,15 @@ class HeicDecoder:
         if stats is not None:
             stats.scheduler = hints
 
+        # tiles-enabled pictures (intra-picture tile partitioning, rare in
+        # HEIF) decode through the Python twin + numpy reconstruction:
+        # the native engine and the device intra path are not
+        # tile-availability-aware yet
+        if pps.tiles_enabled_flag and backend == "jax":
+            backend = "ref"
+
         def entropy(parsed):
-            if native.available():
+            if native.available() and not pps.tiles_enabled_flag:
                 return native.decode_tiles_parallel(
                     sps, pps, parsed,
                     max_workers=hints.get("entropy_workers"),
@@ -383,7 +390,12 @@ class HeicDecoder:
 
         from heif_tpu import native
 
-        if native.available():
+        if pps.tiles_enabled_flag:
+            # tile-partitioned pictures decode via the Python twin and
+            # numpy reconstruction (tile-aware availability)
+            st = TileSyntaxDecoder(sps, pps, ps).decode()
+            backend = "ref"
+        elif native.available():
             # the native twin handles 8/10-bit and 4:0:0/4:2:0 (QP wrap
             # and chroma-QP tables are QpBdOffset-parametrized; verified
             # bit-exact vs the Python twin by the Main-10 fixture tests)

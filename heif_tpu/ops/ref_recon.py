@@ -134,20 +134,37 @@ def z_order_plane(width: int, height: int, ctb_log2: int) -> np.ndarray:
 
 
 class IntraPredictor:
-    def __init__(self, st: T.SyntaxTensors, sps: g.SequenceParameterSet):
+    def __init__(self, st: T.SyntaxTensors, sps: g.SequenceParameterSet,
+                 pps: "g.PictureParameterSet | None" = None):
         self.st = st
         self.sps = sps
         self.z4 = z_order_plane(st.width, st.height, sps.ctb_log2_size_y)
         self.sub = [1, 2, 2]  # luma/chroma subsampling (4:2:0)
         self.bd = [sps.bit_depth_y, sps.bit_depth_c, sps.bit_depth_c]
+        # tiles: per-CTB tile ids — a neighbor in another tile is
+        # unavailable for prediction (§6.4.1) even though its samples are
+        # already reconstructed
+        self.tile_map = None
+        self.ctb_log2 = sps.ctb_log2_size_y
+        if pps is not None and pps.tiles_enabled_flag:
+            self.tile_map = pps.tile_id_map(sps)
 
-    def _available(self, comp: int, xn: int, yn: int, z_cur: int) -> bool:
-        """Sample availability (§6.4.1): in picture and earlier in z order.
-        Coordinates are component coords; z compare in luma 4x4 grid."""
+    def _available(self, comp: int, xn: int, yn: int, z_cur: int,
+                   luma_origin=None) -> bool:
+        """Sample availability (§6.4.1): in picture, earlier in z order,
+        same tile. Coordinates are component coords; z compare in luma
+        4x4 grid."""
         sub = self.sub[comp]
         lx, ly = xn * sub, yn * sub
         if lx < 0 or ly < 0 or lx >= self.st.width or ly >= self.st.height:
             return False
+        if self.tile_map is not None and luma_origin is not None:
+            cl = self.ctb_log2
+            if (
+                self.tile_map[ly >> cl][lx >> cl]
+                != self.tile_map[luma_origin[1] >> cl][luma_origin[0] >> cl]
+            ):
+                return False
         return self.z4[ly >> 2, lx >> 2] < z_cur
 
     def reference_samples(
@@ -165,7 +182,10 @@ class IntraPredictor:
         coords = [(x0 - 1, y0 + i) for i in range(n2 - 1, -2, -1)]
         coords += [(x0 + i, y0 - 1) for i in range(n2)]
         avail = np.array(
-            [self._available(comp, cx, cy, z_cur) for (cx, cy) in coords]
+            [
+                self._available(comp, cx, cy, z_cur, luma_origin)
+                for (cx, cy) in coords
+            ]
         )
         h, w = plane.shape
         vals = np.zeros(len(coords), dtype=np.int32)
@@ -334,9 +354,12 @@ def intra_reconstruct(
     st: T.SyntaxTensors,
     residuals: list[np.ndarray],
     sps: g.SequenceParameterSet,
+    pps: "g.PictureParameterSet | None" = None,
 ) -> list[np.ndarray]:
-    """Sequential per-TU predict + add in decode order."""
-    pred = IntraPredictor(st, sps)
+    """Sequential per-TU predict + add in decode order (tile-scan order
+    for tiles-enabled pictures — the TU table is emitted in decode
+    order, so the replay is order-correct by construction)."""
+    pred = IntraPredictor(st, sps, pps)
     planes = [
         np.zeros((st.height, st.width), dtype=np.int32),
         np.zeros((st.height >> 1, st.width >> 1), dtype=np.int32),
@@ -647,7 +670,21 @@ def reconstruct_tile(
 ) -> list[np.ndarray]:
     """SyntaxTensors -> final [Y, Cb, Cr] uint8 planes."""
     res = residual_planes(st, sps)
-    planes = intra_reconstruct(st, res, sps)
+    planes = intra_reconstruct(st, res, sps, pps)
+    if pps.tiles_enabled_flag and not pps.loop_filter_across_tiles_enabled_flag:
+        if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
+            raise NotImplementedError(
+                "SAO with loop_filter_across_tiles_enabled_flag=0 is not "
+                "supported"
+            )
+        # suppress deblocking of edges ON tile boundaries: clear the
+        # edge flags along interior tile column/row starts (4x4 grid)
+        col_bd, row_bd = pps.tile_bounds(sps)
+        cl = sps.ctb_log2_size_y
+        for cb in col_bd[1:-1]:
+            st.vert_edges[:, (cb << cl) >> 2] = False
+        for rb in row_bd[1:-1]:
+            st.horiz_edges[(rb << cl) >> 2, :] = False
     planes = deblock(planes, st, sps, pps, sh)
     if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
         planes = sao_filter(planes, st, sps)

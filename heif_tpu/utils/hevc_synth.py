@@ -125,6 +125,24 @@ class CabacEncoder:
             self.p_state[ctx] = TRANS_IDX_MPS[p]
         self._renorm()
 
+    def encode_bypass(self, b: int) -> None:
+        """§9.3.4.3.4 EncodeBypass."""
+        self.low <<= 1
+        if b:
+            self.low += self.range
+        if self.low >= 1024:
+            self._put(1)
+            self.low -= 1024
+        elif self.low < 512:
+            self._put(0)
+        else:
+            self.outstanding += 1
+            self.low -= 512
+
+    def encode_bypass_bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.encode_bypass((v >> i) & 1)
+
     def encode_terminate(self, b: int) -> None:
         self.range -= 2
         if b:
@@ -237,7 +255,9 @@ def write_sps(
     return w.tobytes()
 
 
-def write_pps() -> bytes:
+def write_pps(tiles: tuple[int, int] | None = None) -> bytes:
+    """Minimal I-slice PPS; tiles=(n_cols, n_rows) enables uniform tile
+    partitioning (loop_filter_across_tiles=1)."""
     w = BitWriter()
     w.ue(0)  # pps id
     w.ue(0)  # sps id
@@ -258,8 +278,14 @@ def write_pps() -> bytes:
     w.bit(0)  # weighted_pred
     w.bit(0)  # weighted_bipred
     w.bit(0)  # transquant_bypass_enabled
-    w.bit(0)  # tiles_enabled
+    w.bit(1 if tiles else 0)  # tiles_enabled
     w.bit(0)  # entropy_coding_sync (WPP)
+    if tiles:
+        nc, nr = tiles
+        w.ue(nc - 1)  # num_tile_columns_minus1
+        w.ue(nr - 1)  # num_tile_rows_minus1
+        w.bit(1)  # uniform_spacing
+        w.bit(1)  # loop_filter_across_tiles
     w.bit(0)  # loop_filter_across_slices
     w.bit(1)  # deblocking_filter_control_present
     w.bit(0)  # deblocking_filter_override_enabled
@@ -335,4 +361,131 @@ def synthesize_pcm_stream(
         + _nal(33, write_sps(wd, h))
         + _nal(34, write_pps())
         + _nal(nal_type, w.tobytes())
+    )
+
+
+def synthesize_tiled_intra_stream(
+    width: int,
+    height: int,
+    tiles: tuple[int, int],
+    seed: int = 0,
+) -> bytes:
+    """Tiles-enabled mixed PCM/intra picture (Annex-B).
+
+    Picture is partitioned into uniform tiles (PPS tiles_enabled_flag=1 —
+    the geometry the reference parses but never decodes,
+    src/hevc/parameter_set_reader.rs:383-412). Each CTB is one 32x32 CU:
+    roughly half are PCM blocks carrying random samples (content
+    sources), the rest no-residual intra CUs with randomized modes that
+    predict from their neighbors. The PCM content makes tile-boundary
+    prediction availability OBSERVABLE: a decoder that wrongly reads
+    across a tile boundary picks up real (non-substituted) samples and
+    diverges — exercising tile-scan CTU order, per-tile CABAC substreams
+    with spec re-init, end_of_subset signalling, and §6.4.1 availability.
+    Bins are arbitrary; the correctness oracle is libde265 decoding the
+    same bytes.
+    """
+    assert width % 32 == 0 and height % 32 == 0
+    ctbs_x, ctbs_y = width // 32, height // 32
+    nc, nr = tiles
+    col_bd = [(i * ctbs_x) // nc for i in range(nc + 1)]
+    row_bd = [(i * ctbs_y) // nr for i in range(nr + 1)]
+    rng = np.random.default_rng(seed)
+
+    data = BitWriter()
+    tile_ends = []  # byte offsets into data after each tile
+    n_tiles = nc * nr
+    t_idx = 0
+    for tr in range(nr):
+        for tc in range(nc):
+            t_idx += 1
+            last_tile = t_idx == n_tiles
+            enc = CabacEncoder(data, slice_qp_y=26)
+            coords = [
+                (x, y)
+                for y in range(row_bd[tr], row_bd[tr + 1])
+                for x in range(col_bd[tc], col_bd[tc + 1])
+            ]
+            for ci, (x, y) in enumerate(coords):
+                last_ctu_in_tile = ci == len(coords) - 1
+                # coding_quadtree: split_cu=0 (32x32 CU; neighbor depths
+                # are all 0 so ctxInc is 0 regardless of availability)
+                enc.encode_bin(CTX_OFFSET["split_cu"] + 0, 0)
+                # pcm_flag (SPS pcm range [32,32]): ~half the CTBs carry
+                # random PCM samples so predictions have real content
+                if rng.integers(2):
+                    enc.encode_terminate(1)  # pcm_flag, incl. flush
+                    data.byte_align(stop_bit=False)
+                    # samples in [1,254]: keeps the slice EP-clean
+                    for _ in range(32 * 32 + 2 * 16 * 16):
+                        data.bits(int(rng.integers(1, 255)), 8)
+                    enc._restart()
+                else:
+                    enc.encode_terminate(0)  # pcm_flag = 0
+                    # coding_unit: prev_intra_luma_pred_flag
+                    if rng.integers(2):
+                        enc.encode_bin(CTX_OFFSET["prev_intra"], 1)
+                        mpm = int(rng.integers(3))  # TR cMax=2 bypass
+                        if mpm == 0:
+                            enc.encode_bypass(0)
+                        else:
+                            enc.encode_bypass(1)
+                            enc.encode_bypass(mpm - 1)
+                    else:
+                        enc.encode_bin(CTX_OFFSET["prev_intra"], 0)
+                        enc.encode_bypass_bits(int(rng.integers(32)), 5)
+                    # intra_chroma_pred_mode: bin0=0 -> DM (luma mode)
+                    enc.encode_bin(CTX_OFFSET["chroma_mode"], 0)
+                    # transform_tree depth 0: cbf_cb/cbf_cr/cbf_luma = 0
+                    enc.encode_bin(CTX_OFFSET["cbf_chroma"] + 0, 0)
+                    enc.encode_bin(CTX_OFFSET["cbf_chroma"] + 0, 0)
+                    enc.encode_bin(CTX_OFFSET["cbf_luma"] + 1, 0)
+                # end_of_slice_segment_flag
+                is_very_last = last_tile and last_ctu_in_tile
+                if is_very_last:
+                    enc.encode_terminate(1)
+                    data.byte_align(stop_bit=False)
+                elif last_ctu_in_tile:
+                    enc.encode_terminate(0)
+                    enc.encode_terminate(1)  # end_of_subset_one_bit
+                    data.byte_align(stop_bit=False)
+                else:
+                    enc.encode_terminate(0)
+            if not last_tile:
+                tile_ends.append(data.bit_len // 8)
+
+    data_bytes = data.tobytes()
+    # entry point offsets are expressed in the emulation-prevented
+    # domain; this writer requires the slice data to be EP-clean
+    assert insert_emulation_prevention(data_bytes) == data_bytes, (
+        "synthesized tile substreams hit an emulation-prevention pattern; "
+        "pick a different seed"
+    )
+    offsets = []
+    prev = 0
+    for e in tile_ends:
+        offsets.append(e - prev)
+        prev = e
+
+    # --- slice segment header (IDR_N_LP, tiles entry points) ---
+    h = BitWriter()
+    h.bit(1)  # first_slice_segment_in_pic
+    h.bit(1)  # no_output_of_prior_pics
+    h.ue(0)  # slice_pic_parameter_set_id
+    h.ue(2)  # slice_type I
+    h.se(0)  # slice_qp_delta
+    h.ue(len(offsets))  # num_entry_point_offsets
+    if offsets:
+        maxoff = max(offsets)
+        olen = max(1, maxoff.bit_length())
+        h.ue(olen - 1)  # offset_len_minus1
+        for off in offsets:
+            h.bits(off - 1, olen)  # entry_point_offset_minus1
+    h.byte_align()
+
+    return (
+        _nal(32, write_vps())
+        + _nal(33, write_sps(width, height, pcm=True))
+        + _nal(34, write_pps(tiles=tiles))
+        + _nal(20, h.tobytes() + data_bytes)
     )

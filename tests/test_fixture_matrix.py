@@ -177,6 +177,51 @@ class TestPcmFixtures:
         assert np.array_equal(got["Cb"], cb)
         assert np.array_equal(got["Cr"], cr)
 
+    @pytest.mark.parametrize(
+        "dims,tiles,seed",
+        [((96, 64), (2, 2), 0), ((160, 96), (3, 2), 1), ((64, 64), (2, 1), 2)],
+    )
+    def test_tiles_bit_exact(self, dims, tiles, seed):
+        """tiles_enabled_flag=1 decode (beyond the reference, which only
+        parses the PPS tile geometry, src/hevc/parameter_set_reader.rs:
+        383-412): tile-scan CTU order, per-tile CABAC substreams with
+        spec re-init, end_of_subset signalling, and §6.4.1 tile-boundary
+        prediction availability. The mixed PCM/intra fixture makes
+        availability observable — disabling the tile check diverges on
+        thousands of samples (verified by the negative-control test)."""
+        from heif_tpu.utils import hevc_synth
+
+        w, h = dims
+        stream = hevc_synth.synthesize_tiled_intra_stream(
+            w, h, tiles, seed=seed
+        )
+        want = oracle.decode_hevc_annexb(stream)
+        got = HeicDecoder.decode_hevc(stream)
+        assert np.array_equal(got["Y"], want[0])
+        assert np.array_equal(got["Cb"], want[1])
+        assert np.array_equal(got["Cr"], want[2])
+
+    def test_tiles_availability_negative_control(self):
+        """The tiles fixture must FAIL if tile-boundary availability is
+        ignored — guards against the fixture degenerating into content
+        that cannot observe the check."""
+        from heif_tpu.ops import ref_recon
+        from heif_tpu.utils import hevc_synth
+
+        stream = hevc_synth.synthesize_tiled_intra_stream(
+            96, 64, (2, 2), seed=0
+        )
+        want = oracle.decode_hevc_annexb(stream)
+        orig = ref_recon.IntraPredictor._available
+        ref_recon.IntraPredictor._available = (
+            lambda self, c, xn, yn, z, lo=None: orig(self, c, xn, yn, z, None)
+        )
+        try:
+            got = HeicDecoder.decode_hevc(stream)
+        finally:
+            ref_recon.IntraPredictor._available = orig
+        assert not np.array_equal(got["Y"], want[0])
+
     def test_cra_bit_exact(self):
         """CRA_NUT picture: exercises the non-IDR IRAP slice-header path
         (slice_pic_order_cnt_lsb + st_ref_pic_set, hevc/slice.py) that no

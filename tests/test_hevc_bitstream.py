@@ -251,35 +251,39 @@ class TestSliceHeader:
 
 
 class TestTilesGuard:
-    def test_tiles_enabled_is_rejected_loudly(self, fixture_ps):
-        """tiles_enabled_flag=1 must fail with a clear error, not desync.
-
-        Decode support for tile-segmented pictures does not exist (the
-        reference also only parses the PPS tile geometry,
-        src/hevc/parameter_set_reader.rs:383-412); the raster CTU loop
-        would silently produce garbage, so both entropy front-ends refuse.
+    def test_tiles_plus_wpp_rejected_loudly(self, fixture_ps):
+        """The Python twin DECODES tiles_enabled_flag=1 pictures (see
+        tests/test_fixture_matrix.py tiles cases — beyond the reference,
+        which only parses the geometry). The unsupported combination —
+        tiles together with entropy_coding_sync — must still fail with a
+        clear error rather than desync, as must the native front end
+        (which routes tiles to the Python twin at the decoder level).
         """
         import dataclasses
 
         r, heif, rec, _, sps, pps = fixture_ps
-        pps_tiled = dataclasses.replace(
-            pps,
-            tiles_enabled_flag=True,
-            num_tile_columns_minus1=1,
-            num_tile_rows_minus1=0,
-        )
         nals = sl.split_length_prefixed_nals(
             r.get_item_data(1), rec.length_size_minus_one + 1
         )
         ps = sl.parse_slice_header(nals[0], sps, pps)
         from heif_tpu.cabac.syntax import TileSyntaxDecoder
 
-        with pytest.raises(NotImplementedError, match="tiles_enabled"):
-            TileSyntaxDecoder(sps, pps_tiled, ps)
+        pps_both = dataclasses.replace(
+            pps,
+            tiles_enabled_flag=True,
+            num_tile_columns_minus1=1,
+            num_tile_rows_minus1=0,
+            entropy_coding_sync_enabled_flag=True,
+        )
+        with pytest.raises(NotImplementedError, match="tiles"):
+            TileSyntaxDecoder(sps, pps_both, ps)
 
         from heif_tpu import native
 
         if native.available():
+            pps_tiled = dataclasses.replace(
+                pps_both, entropy_coding_sync_enabled_flag=False
+            )
             with pytest.raises(NotImplementedError, match="tiles_enabled"):
                 native.decode_tile_native(sps, pps_tiled, ps)
 
