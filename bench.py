@@ -168,35 +168,45 @@ def main():
     # load, so more samples materially improve the captured best case
     from heif_tpu.utils.profiling import DecodeStats as _DS
 
-    dev_times = [warm0]
-    dev_stats = []
-    t_box = time.perf_counter()
-    while len(dev_times) < 13 and time.perf_counter() - t_box < 35.0:
-        gc.collect()
-        ds = _DS()
-        dev_times.append(decode_to_device_once(stats=ds))
-        dev_stats.append(ds)
-    if dev_stats:
-        ds = dev_stats[dev_times[1:].index(min(dev_times[1:]))]
-        print(f"# device-path stages: {ds.summary()}", file=sys.stderr)
-
-    # e2e (with plane readback) second; adaptive repeat count — the
-    # driver gives the whole bench ~10 min and cold AOT compiles on
-    # tunneled hosts can eat most of it
+    # e2e warmup (flatten compile) before the measurement loop
     t0 = time.perf_counter()
     (y, cb, cr), stats0 = decode_once()
     t1 = time.perf_counter() - t0
     mp = (y.shape[0] * y.shape[1]) / 1e6
     print(f"# e2e warm (incl. flatten compile): {t1:.1f}s", file=sys.stderr)
-    reps = max(1, min(8, int(45.0 / max(t1, 1e-3))))
+
+    # INTERLEAVED measurement loop: this host's throughput (CPU and
+    # tunnel alike) swings 2-4x in multi-minute windows, so measuring
+    # the baseline once at the end made vs_baseline a lottery. Cycling
+    # device-rep / e2e-rep / libde265-rep for the whole budget gives
+    # every contender shots at the same windows; best-of-run each.
+    from heif_tpu.utils import oracle as _oracle
+
+    dev_times = [warm0]
+    dev_stats = []
     times = []
     all_stats = []
-    for _ in range(reps):
+    base_times = []
+    t_box = time.perf_counter()
+    while time.perf_counter() - t_box < 75.0:
         gc.collect()
+        ds = _DS()
+        dev_times.append(decode_to_device_once(stats=ds))
+        dev_stats.append(ds)
         t0 = time.perf_counter()
         _, stats = decode_once()
         times.append(time.perf_counter() - t0)
         all_stats.append(stats)
+        t0 = time.perf_counter()
+        try:
+            _oracle.decode_heic_via_de265(data)
+            base_times.append(time.perf_counter() - t0)
+        except Exception:
+            pass
+
+    if dev_stats:
+        ds = dev_stats[dev_times[1:].index(min(dev_times[1:]))]
+        print(f"# device-path stages: {ds.summary()}", file=sys.stderr)
     best = min(times)
     stats = all_stats[times.index(best)]
     print(f"# best {best:.3f}s  {stats.summary()}  ({mp:.1f} MP)", file=sys.stderr)
@@ -207,9 +217,13 @@ def main():
         file=sys.stderr,
     )
 
-    base = baseline_mp_per_s(data, mp)
+    base = mp / min(base_times) if base_times else baseline_mp_per_s(data, mp)
     if base is not None:
-        print(f"# libde265 1-thread CPU baseline: {base:.2f} MP/s", file=sys.stderr)
+        print(
+            f"# libde265 1-thread CPU baseline (interleaved best of "
+            f"{len(base_times)}): {base:.2f} MP/s",
+            file=sys.stderr,
+        )
     value = round(mp / best, 3)
     print(
         json.dumps(
