@@ -210,21 +210,29 @@ class HeicDecoder:
         if tgt_info.item_type == g.ItemType.GRID:
             grid = parse_grid_config(reader.get_item_data(target))
             tile_ids = heif.item_ids_referencing(target, "dimg")
+            crop_off = (0, 0)
         else:
             ispe_t = props.property_of_type(
                 target, g.ImageSpatialExtentsProperty
             )
+            crop_off = (0, 0)
             if ispe_t is not None:
                 out_w, out_h = ispe_t.width, ispe_t.height
             else:
                 # conformance window (§7.4.3.2.1); sub-sampling factors
-                # are 2 for 4:2:0, 1 for monochrome
+                # are 2 for 4:2:0, 1 for monochrome. The window may be
+                # offset from the top-left: crop starts at
+                # (sub*left, sub*top), not always at (0, 0).
                 sub = 2 if sps.chroma_format_idc == 1 else 1
                 out_w = sps.pic_width_in_luma_samples - sub * (
                     sps.conf_win_left_offset + sps.conf_win_right_offset
                 )
                 out_h = sps.pic_height_in_luma_samples - sub * (
                     sps.conf_win_top_offset + sps.conf_win_bottom_offset
+                )
+                crop_off = (
+                    sub * sps.conf_win_left_offset,
+                    sub * sps.conf_win_top_offset,
                 )
             grid = g.GridConfig(
                 rows=1, columns=1, output_width=out_w, output_height=out_h
@@ -354,7 +362,7 @@ class HeicDecoder:
             stats.tiles = len(tile_ids)
 
         planes = HeicDecoder._stitch(
-            tiles, grid, sps, apply_rotation, angle
+            tiles, grid, sps, apply_rotation, angle, crop_off=crop_off
         )
         planes["info"] = info
         return planes
@@ -413,10 +421,16 @@ class HeicDecoder:
             y, cb, cr = reconstruct_tiles_batched([st], sps, pps, [ps])[0]
         else:
             raise ValueError(f"unknown backend {backend!r}")
+        if sps.chroma_format_idc == 0:
+            # monochrome: the dummy chroma planes are meaningless —
+            # return None like decode() does (zeros would green-tint
+            # to_rgb output)
+            cb = cr = None
         return {"Y": y, "Cb": cb, "Cr": cr, "sps": sps, "pps": pps}
 
     @staticmethod
-    def _stitch(tiles, grid, sps, apply_rotation: bool, angle: int) -> dict:
+    def _stitch(tiles, grid, sps, apply_rotation: bool, angle: int,
+                crop_off: tuple = (0, 0)) -> dict:
         """Assemble decoded tiles into the output canvas, crop to the grid
         output size, and apply irot (CCW multiples of 90 degrees).
 
@@ -442,10 +456,13 @@ class HeicDecoder:
             if not mono:
                 cb[r * (th >> 1) : (r + 1) * (th >> 1), c * (tw >> 1) : (c + 1) * (tw >> 1)] = t[1]
                 cr[r * (th >> 1) : (r + 1) * (th >> 1), c * (tw >> 1) : (c + 1) * (tw >> 1)] = t[2]
-        y = y[: grid.output_height, : grid.output_width]
+        ox, oy = crop_off
+        y = y[oy : oy + grid.output_height, ox : ox + grid.output_width]
         if not mono:
-            cb = cb[: grid.output_height >> 1, : grid.output_width >> 1]
-            cr = cr[: grid.output_height >> 1, : grid.output_width >> 1]
+            cb = cb[oy >> 1 : (oy >> 1) + (grid.output_height >> 1),
+                    ox >> 1 : (ox >> 1) + (grid.output_width >> 1)]
+            cr = cr[oy >> 1 : (oy >> 1) + (grid.output_height >> 1),
+                    ox >> 1 : (ox >> 1) + (grid.output_width >> 1)]
         if apply_rotation and angle:
             y = np.rot90(y, k=angle).copy()
             if not mono:

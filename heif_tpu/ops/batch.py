@@ -800,13 +800,25 @@ def _bundle_plan(bp: BatchPlan):
         b32.append(idx_pad)
         b32.append(val_pad)
 
+    # qp (7 bits) | org+1 (high bits) packs into int32 only while
+    # org+1 < 2^25 (~33.5M padded samples per plane per chunk); larger
+    # geometries ship qp and org as separate words (layout flag) instead
+    # of silently wrapping
+    max_org = max(
+        (int(bp.tc_org[k].max(initial=-1)) for k in keys), default=-1
+    )
+    pack_qporg = max_org + 1 < (1 << 25)
     for k in keys:
-        # qp (7 bits) | org+1 (high bits); org == -1 padding -> 0
-        b32.append(
-            ((bp.tc_org[k].astype(np.int64) + 1) << 7 | bp.tc_qp[k]).astype(
-                np.int32
+        if pack_qporg:
+            # org == -1 padding -> 0 in the high bits
+            b32.append(
+                (
+                    (bp.tc_org[k].astype(np.int64) + 1) << 7 | bp.tc_qp[k]
+                ).astype(np.int32)
             )
-        )
+        else:
+            b32.append(bp.tc_qp[k])
+            b32.append(bp.tc_org[k])
         b8.append(bp.tc_dst[k].view(np.uint8))
         b8.append(bp.tc_skip[k].view(np.uint8))
         b8.append(bp.tc_bypass[k].view(np.uint8))
@@ -843,7 +855,7 @@ def _bundle_plan(bp: BatchPlan):
     if any(p is not None for p in bp.pcm):
         pcm_blob = np.concatenate([p.reshape(-1) for p in bp.pcm])
     layout = (cls_layout, ns, bp.qp_map.shape, bp.sao.shape, skeys,
-              pcm_blob is not None, coeff_mode)
+              pcm_blob is not None, coeff_mode, pack_qporg)
     return (
         np.concatenate(b16) if b16 else np.zeros(0, np.int16),
         np.concatenate(b32),
@@ -859,7 +871,8 @@ def _core_blobs(
     cb_qp_off, cr_qp_off, strong_smoothing, use_pallas, bd_y, bd_c,
 ):
     """Unbundle the three plan blobs (static offsets) and run _core."""
-    cls_layout, ns, qp_shape, sao_shape, skeys, has_pcm, coeff_mode = layout
+    (cls_layout, ns, qp_shape, sao_shape, skeys, has_pcm, coeff_mode,
+     pack_qporg) = layout
     Hc, Wc = H // 2, W // 2
     o16 = o32 = o8 = 0
 
@@ -930,11 +943,15 @@ def _core_blobs(
         oc += m
         metas.append(coeffs)
     for i, (comp, size, total) in enumerate(cls_layout):
-        qporg = take32(total)
-        qp = qporg & 127
-        org = (
-            (qporg.astype(jnp.uint32) >> 7).astype(jnp.int32) - 1
-        )
+        if pack_qporg:
+            qporg = take32(total)
+            qp = qporg & 127
+            org = (
+                (qporg.astype(jnp.uint32) >> 7).astype(jnp.int32) - 1
+            )
+        else:
+            qp = take32(total)
+            org = take32(total)
         dst = take8(total).astype(jnp.bool_)
         skip = take8(total).astype(jnp.bool_)
         byp = take8(total).astype(jnp.bool_)
@@ -1310,6 +1327,10 @@ def decode_reconstruct_overlapped(
             else:
                 outs.append(planes)
             mark("dispatch", t0)
+    except BaseException:
+        if dpool is not None:
+            dpool.shutdown(wait=False, cancel_futures=True)
+        raise
     finally:
         ex.shutdown(wait=False, cancel_futures=True)
     if not readback:

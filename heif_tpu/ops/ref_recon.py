@@ -150,15 +150,18 @@ class IntraPredictor:
             self.tile_map = pps.tile_id_map(sps)
 
     def _available(self, comp: int, xn: int, yn: int, z_cur: int,
-                   luma_origin=None) -> bool:
+                   luma_origin) -> bool:
         """Sample availability (§6.4.1): in picture, earlier in z order,
         same tile. Coordinates are component coords; z compare in luma
-        4x4 grid."""
+        4x4 grid. luma_origin (the current block's luma position) is
+        REQUIRED — the different-tile exclusion depends on it, and an
+        optional default would silently revert to tile-unaware
+        availability (thousands of wrong samples on tiled streams)."""
         sub = self.sub[comp]
         lx, ly = xn * sub, yn * sub
         if lx < 0 or ly < 0 or lx >= self.st.width or ly >= self.st.height:
             return False
-        if self.tile_map is not None and luma_origin is not None:
+        if self.tile_map is not None:
             cl = self.ctb_log2
             if (
                 self.tile_map[ly >> cl][lx >> cl]

@@ -184,42 +184,32 @@ def mux_heic(
     )
     pitm = _full(b"pitm", 0, 0, struct.pack(">H", primary))
 
-    # --- iloc: needs absolute mdat offsets; assemble with placeholder ---
+    # --- iloc: needs absolute mdat offsets; assemble with placeholder.
+    # Grid containers use v1 (the grid config ships in idat via
+    # construction_method 1); single-item containers use v0. ---
+    version = 1 if grid else 0
+
     def build_iloc(mdat_payload_off: int) -> bytes:
         body = bytearray()
         body.append((4 << 4) | 4)  # offset_size=4, length_size=4
-        body.append(0)  # base_offset_size=0
+        body.append(0)  # base_offset_size=0 (index_size=0 for v1)
         n_items = n_tiles + (1 if grid else 0)
         body += struct.pack(">H", n_items)
         off = mdat_payload_off
         for tid in tile_ids:
             pl = payloads[tid - 1]
-            body += struct.pack(">HHH", tid, 0, 1)  # id, dref, extents
+            if version == 1:
+                # id, construction_method, dref, extent_count
+                body += struct.pack(">HHHH", tid, 0, 0, 1)
+            else:
+                body += struct.pack(">HHH", tid, 0, 1)  # id, dref, extents
             body += struct.pack(">II", off, len(pl))
             off += len(pl)
         if grid:
-            # grid config lives in idat: construction_method 1 (v1 iloc)
+            # grid config lives in idat: construction_method 1
             body += struct.pack(">HHHH", grid_id, 1, 0, 1)
             body += struct.pack(">II", 0, 8)
-        return _full(b"iloc", 1 if grid else 0, 0, bytes(body))
-
-    def build_iloc_v1(mdat_payload_off: int) -> bytes:
-        # v1 layout: item_id u16, reserved+construction u16, dref u16
-        body = bytearray()
-        body.append((4 << 4) | 4)
-        body.append(0)  # base_offset_size=0, index_size=0
-        n_items = n_tiles + (1 if grid else 0)
-        body += struct.pack(">H", n_items)
-        off = mdat_payload_off
-        for tid in tile_ids:
-            pl = payloads[tid - 1]
-            body += struct.pack(">HHHH", tid, 0, 0, 1)
-            body += struct.pack(">II", off, len(pl))
-            off += len(pl)
-        if grid:
-            body += struct.pack(">HHHH", grid_id, 1, 0, 1)
-            body += struct.pack(">II", 0, 8)
-        return _full(b"iloc", 1, 0, bytes(body))
+        return _full(b"iloc", version, 0, bytes(body))
 
     ftyp = _box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"mif1heic")
 
@@ -234,9 +224,8 @@ def mux_heic(
         return head, len(head) + 8  # +8: mdat header
 
     # two passes: iloc size is offset-independent (fixed 4-byte fields)
-    probe_iloc = build_iloc_v1(0) if grid else build_iloc(0)
-    _, payload_off = assemble(probe_iloc)
-    iloc = build_iloc_v1(payload_off) if grid else build_iloc(payload_off)
+    _, payload_off = assemble(build_iloc(0))
+    iloc = build_iloc(payload_off)
     head, payload_off2 = assemble(iloc)
     assert payload_off == payload_off2
     mdat = _box(b"mdat", b"".join(payloads))

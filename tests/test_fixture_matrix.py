@@ -213,9 +213,15 @@ class TestPcmFixtures:
         )
         want = oracle.decode_hevc_annexb(stream)
         orig = ref_recon.IntraPredictor._available
-        ref_recon.IntraPredictor._available = (
-            lambda self, c, xn, yn, z, lo=None: orig(self, c, xn, yn, z, None)
-        )
+
+        def tile_blind(self, c, xn, yn, z, lo):
+            tm, self.tile_map = self.tile_map, None
+            try:
+                return orig(self, c, xn, yn, z, lo)
+            finally:
+                self.tile_map = tm
+
+        ref_recon.IntraPredictor._available = tile_blind
         try:
             got = HeicDecoder.decode_hevc(stream)
         finally:
