@@ -72,6 +72,7 @@ def cmd_decode(args) -> int:
             backend=args.backend,
             mesh_devices=args.mesh,
             isolate_tile_errors=args.isolate_errors,
+            item_id=args.item,
             stats=stats,
         )
     dt = time.perf_counter() - t0
@@ -96,7 +97,14 @@ def cmd_decode(args) -> int:
         if args.output.endswith(".ppm"):
             _write_ppm(args.output, HeicDecoder.to_rgb(planes))
         elif args.output.endswith(".npz"):
-            np.savez(args.output, **{k: planes[k] for k in ("Y", "Cb", "Cr")})
+            np.savez(
+                args.output,
+                **{
+                    k: planes[k]
+                    for k in ("Y", "Cb", "Cr")
+                    if planes[k] is not None
+                },
+            )
         else:
             print("unsupported output format (use .ppm or .npz)", file=sys.stderr)
             return 2
@@ -165,6 +173,9 @@ def main(argv=None) -> int:
     pd.add_argument("file")
     pd.add_argument("-o", "--output", help=".ppm or .npz output path")
     pd.add_argument("--backend", default="jax", choices=["jax", "ref"])
+    pd.add_argument("--item", type=int, default=None,
+                    help="decode this item id instead of the primary "
+                         "(e.g. an auxiliary alpha/depth hvc1 item)")
     pd.add_argument(
         "--mesh", type=int, default=None, metavar="N",
         help="shard the tile grid over an N-device jax Mesh",

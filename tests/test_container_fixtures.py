@@ -239,3 +239,28 @@ def test_main10_twins_with_cu_qp_delta():
     ref = oracle.decode_hevc_annexb(s)
     for c, k in enumerate(("Y", "Cb", "Cr")):
         assert np.array_equal(out[k], ref[c]), k
+
+
+def test_stitch_conformance_crop_offset():
+    """_stitch honors a nonzero crop origin (conformance windows may be
+    offset from the top-left; cropping from (0,0) shifted the image)."""
+    import numpy as np
+
+    from heif_tpu.container import grammar as cg
+    from heif_tpu.hevc import grammar as hg
+
+    sps = hg.SequenceParameterSet(
+        pic_width_in_luma_samples=64,
+        pic_height_in_luma_samples=32,
+        chroma_format_idc=1,
+    )
+    y = np.arange(32 * 64, dtype=np.uint8).reshape(32, 64)
+    cb = np.arange(16 * 32, dtype=np.uint8).reshape(16, 32)
+    cr = cb + 1
+    grid = cg.GridConfig(rows=1, columns=1, output_width=60, output_height=28)
+    out = HeicDecoder._stitch(
+        [[y, cb, cr]], grid, sps, apply_rotation=False, angle=0,
+        crop_off=(4, 2),
+    )
+    assert np.array_equal(out["Y"], y[2:30, 4:64])
+    assert np.array_equal(out["Cb"], cb[1:15, 2:32])
