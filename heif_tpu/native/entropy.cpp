@@ -317,10 +317,10 @@ struct Engine {
     }
   }
 
-  // n <= 57
+  // n in [0, 57] (the double shift keeps n==0 defined)
   inline uint32_t read_bits(int n) {
     if (ncache < n) refill();
-    uint64_t v = cache >> (64 - n);
+    uint64_t v = (cache >> 1) >> (63 - n);
     cache <<= n;
     ncache -= n;
     bit_pos += n;
@@ -363,38 +363,30 @@ struct Engine {
   }
 
   inline int decode_bin(int ctx) {
+    // branch-free formulation: the MPS/LPS decision is the entropy
+    // itself (inherently unpredictable), so both outcomes are computed
+    // and selected with cmovs; the unified renorm shift covers the LPS
+    // (1..7), MPS-with-renorm (1) and MPS-no-renorm (0) cases
     uint32_t s = state[ctx];
     uint32_t lps = kRangeTabLps[s >> 1][(range >> 6) & 3];
-    range -= lps;
-    int bin;
-    if (offset >= range) {
-      bin = (s & 1) ^ 1;
-      offset -= range;
-      range = lps;
-      state[ctx] = kFused.next_lps[s];
-      // LPS renorm: range==lps in [2,240] -> shift in [1,7]
-      int sh = __builtin_clz(range) - 23;
-      range <<= sh;
-      offset = (offset << sh) | read_bits(sh);
-    } else {
-      bin = s & 1;
-      state[ctx] = kFused.next_mps[s];
-      // MPS renorm: post-subtract range >= 128, at most one shift
-      if (range < 256) {
-        range <<= 1;
-        offset = (offset << 1) | read_bits(1);
-      }
-    }
+    uint32_t rmps = range - lps;
+    uint32_t is_lps = offset >= rmps;
+    int bin = (int)((s & 1) ^ is_lps);
+    offset -= is_lps ? rmps : 0;
+    range = is_lps ? lps : rmps;
+    state[ctx] = is_lps ? kFused.next_lps[s] : kFused.next_mps[s];
+    int sh = __builtin_clz(range) - 23;  // range in [2,509] -> [-1,7]
+    sh = sh < 0 ? 0 : sh;
+    range <<= sh;
+    offset = (offset << sh) | read_bits(sh);
     return bin;
   }
 
   inline int decode_bypass() {
     offset = (offset << 1) | read_bits(1);
-    if (offset >= range) {
-      offset -= range;
-      return 1;
-    }
-    return 0;
+    uint32_t b = offset >= range;
+    offset -= b ? range : 0;
+    return (int)b;
   }
 
   // n consecutive bypass bins as one division (n <= 47)
