@@ -281,9 +281,12 @@ def decode_tile_native(
         pcm_cr=vp(st.pcm_planes[2]),
     )
     params = _make_params(sps, pps, parsed.header)
+    rbsp = (
+        parsed.rbsp if isinstance(parsed.rbsp, bytes) else bytes(parsed.rbsp)
+    )
     rc = lib.heif_entropy_decode_tile(
-        bytes(parsed.rbsp),
-        len(parsed.rbsp),
+        rbsp,
+        len(rbsp),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(ranges),
         ctypes.byref(params),
@@ -304,6 +307,23 @@ def decode_tile_native(
     return st
 
 
+# shared worker pool: decode_tiles_parallel is called per chunk on the
+# decode critical path; re-spawning OS threads each call costs more than
+# the work they amortize on 2-core hosts
+_POOL: Optional[ThreadPoolExecutor] = None
+_POOL_SIZE = 0
+
+
+def _pool(workers: int) -> ThreadPoolExecutor:
+    global _POOL, _POOL_SIZE
+    if _POOL is None or _POOL_SIZE < workers:
+        if _POOL is not None:
+            _POOL.shutdown(wait=False)
+        _POOL = ThreadPoolExecutor(max_workers=workers)
+        _POOL_SIZE = workers
+    return _POOL
+
+
 def decode_tiles_parallel(
     sps, pps, parsed_list, max_workers: Optional[int] = None,
     pack_pad: Optional[int] = None,
@@ -322,5 +342,4 @@ def decode_tiles_parallel(
         return st
 
     workers = max_workers or min(len(parsed_list), os.cpu_count() or 4)
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(ex.map(one, parsed_list))
+    return list(_pool(workers).map(one, parsed_list))
