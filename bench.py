@@ -214,13 +214,15 @@ def main():
     # burst steady state (BASELINE config-4 analog on one chip): N images
     # decoded back-to-back with warm caches — the production serving rate,
     # free of per-run warmup effects
+    BURST_N = 8
     burst_times = []
-    for _ in range(8):
+    for _ in range(BURST_N):
         burst_times.append(decode_to_device_once())
-    burst_mp_s = round(8 * mp / sum(burst_times), 3)
+    burst_mp_s = round(BURST_N * mp / sum(burst_times), 3)
     print(
-        f"# burst steady state (8 images back-to-back): {burst_mp_s} MP/s "
-        f"sustained, best image {mp / min(burst_times):.1f} MP/s",
+        f"# burst steady state ({BURST_N} images back-to-back): "
+        f"{burst_mp_s} MP/s sustained, "
+        f"best image {mp / min(burst_times):.1f} MP/s",
         file=sys.stderr,
     )
     dev_times.extend(burst_times)  # burst reps are device decodes too

@@ -307,21 +307,23 @@ def decode_tile_native(
     return st
 
 
-# shared worker pool: decode_tiles_parallel is called per chunk on the
-# decode critical path; re-spawning OS threads each call costs more than
-# the work they amortize on 2-core hosts
-_POOL: Optional[ThreadPoolExecutor] = None
-_POOL_SIZE = 0
+# shared worker pools, one per requested size: decode_tiles_parallel is
+# called per chunk on the decode critical path, and re-spawning OS
+# threads each call costs more than the work they amortize on 2-core
+# hosts. Size-keyed (never shut down, lock-guarded) so concurrent
+# callers cannot race a shutdown and a smaller max_workers is honored
+# rather than fanning across a wider cached pool.
+_POOLS: dict = {}
+_POOL_LOCK = __import__("threading").Lock()
 
 
 def _pool(workers: int) -> ThreadPoolExecutor:
-    global _POOL, _POOL_SIZE
-    if _POOL is None or _POOL_SIZE < workers:
-        if _POOL is not None:
-            _POOL.shutdown(wait=False)
-        _POOL = ThreadPoolExecutor(max_workers=workers)
-        _POOL_SIZE = workers
-    return _POOL
+    with _POOL_LOCK:
+        p = _POOLS.get(workers)
+        if p is None:
+            p = ThreadPoolExecutor(max_workers=workers)
+            _POOLS[workers] = p
+        return p
 
 
 def decode_tiles_parallel(

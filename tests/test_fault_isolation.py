@@ -81,7 +81,12 @@ def test_bitflip_fuzz_never_crashes(seed):
         )
         assert out["Y"].shape == (64, 64)
         # either clean or gray-substituted; both fine
-    except (ValueError, NotImplementedError):
+    except (ValueError, NotImplementedError) as e:
         # a corrupt container-level structure may still fail loudly
-        # before tile isolation engages; that is an acceptable outcome
-        pass
+        # before tile isolation engages — but a TILE-decode error
+        # escaping the isolation boundary is exactly the regression this
+        # test exists to catch
+        from heif_tpu.cabac.syntax import DecodeError
+
+        assert not isinstance(e, DecodeError), e
+        assert "entropy decode failed" not in str(e), e

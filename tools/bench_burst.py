@@ -43,13 +43,26 @@ def main():
         remove_emulation_prevention(rec.nal_units_of_type(34)[0][2:])
     )
     primary = heif.primary_item_id()
-    grid = parse_grid_config(r.get_item_data(primary))
-    tile_ids = heif.item_ids_referencing(primary, "dimg")
+    from heif_tpu.container import grammar as cg
+
+    info = heif.item_info_by_item_id(primary)
+    if info is not None and info.item_type == cg.ItemType.GRID:
+        grid = parse_grid_config(r.get_item_data(primary))
+        tile_ids = heif.item_ids_referencing(primary, "dimg")
+    else:
+        grid = cg.GridConfig(
+            rows=1, columns=1,
+            output_width=sps.pic_width_in_luma_samples,
+            output_height=sps.pic_height_in_luma_samples,
+        )
+        tile_ids = [primary]
 
     def hdrs():
         return [
             sl.parse_slice_header(
-                sl.split_length_prefixed_nals(r.get_item_data(t), 4)[0],
+                sl.split_length_prefixed_nals(
+                    r.get_item_data(t), rec.length_size_minus_one + 1
+                )[0],
                 sps, pps,
             )
             for t in tile_ids
