@@ -35,6 +35,9 @@ class TraceSegment:
     kinds: list = field(default_factory=list)
     slots: list = field(default_factory=list)
     bins: list = field(default_factory=list)
+    # absolute bit position (within rbsp) AFTER each bin — lets the
+    # windowed device engine rebase its bit reader per bin-block
+    positions: list = field(default_factory=list)
     p_final: np.ndarray = None
     mps_final: np.ndarray = None
 
@@ -44,6 +47,7 @@ class TraceSegment:
         self.kinds = np.asarray(self.kinds, dtype=np.uint8)
         self.slots = np.asarray(self.slots, dtype=np.uint8)
         self.bins = np.asarray(self.bins, dtype=np.uint8)
+        self.positions = np.asarray(self.positions, dtype=np.int64)
 
     @property
     def n_bins(self) -> int:
@@ -91,6 +95,7 @@ class TracingCabacEngine(CabacEngine):
         s.kinds.append(KIND_CTX)
         s.slots.append(ctx)
         s.bins.append(b)
+        s.positions.append(self.bit_pos)
         return b
 
     def decode_bypass(self) -> int:
@@ -99,6 +104,7 @@ class TracingCabacEngine(CabacEngine):
         s.kinds.append(KIND_BYPASS)
         s.slots.append(0)
         s.bins.append(b)
+        s.positions.append(self.bit_pos)
         return b
 
     def decode_terminate(self) -> int:
@@ -107,6 +113,7 @@ class TracingCabacEngine(CabacEngine):
         s.kinds.append(KIND_TERMINATE)
         s.slots.append(0)
         s.bins.append(b)
+        s.positions.append(self.bit_pos)
         return b
 
     def done(self) -> list[TraceSegment]:

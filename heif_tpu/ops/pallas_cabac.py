@@ -346,6 +346,276 @@ def bench_replay_device(
 
 
 # --------------------------------------------------------------------------
+# Windowed engine variant: per-block rebased stream windows
+# --------------------------------------------------------------------------
+#
+# Hypothesis tested: the per-bin stream-word fetch (an iota-mask reduction
+# over all W words of the longest lane, W ~ 1184 on halfmoonbay) dominates
+# the bin cost. The host trace knows every lane's bit position at every
+# bin, so this variant ships, per bin-block, a small REBASED word window
+# (w_blk collapses to 16 rows) plus the base bit offset, and the kernel
+# re-anchors its bit reader at each block boundary.
+#
+# MEASURED RESULT (v5e, all 768 real streams, bit-exact): throughput is
+# UNCHANGED vs the full-stream kernel (~35-42 Mbins/s real) — the fetch
+# was never the bottleneck. The remaining per-bin cost is the context
+# read/modify/write ([136,128] masked ops) and packed-table select
+# ([256,128]) plus per-step loop overhead; the next meaningful lever is
+# packing context slots 4-per-word and the table's q-dimension into
+# bytes, not window size. Kept as the validated rebasing foundation
+# (block-anchored readers are also what a future device-side tape
+# GENERATOR needs, since it cannot know bit positions in advance).
+
+
+def _kernel_windowed(tbl_ref, words_ref, biw0_ref, c0_ref, kinds_ref,
+                     slots_ref, bins_ref, state_out_ref, ctx, regs, *,
+                     blk: int, w_blk: int):
+    k = pl.program_id(1)
+
+    iota_ctx = lax.broadcasted_iota(jnp.int32, (N_CTX, LANES), 0)
+    iota_w = lax.broadcasted_iota(jnp.int32, (w_blk, LANES), 0)
+    iota_tbl = lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    words = words_ref[0, 0]
+    tblcol = tbl_ref[...]
+
+    def fetch_word(idx):
+        m = (iota_w == idx).astype(jnp.int32)
+        return jnp.sum(words * m, axis=0, keepdims=True)
+
+    def read_bits(cur, nxt, wi, biw, L):
+        top = lax.shift_left(cur, biw) | jnp.where(
+            biw > 0, _srl(nxt, jnp.where(biw > 0, 32 - biw, 0)), 0
+        )
+        v = jnp.where(L > 0, _srl(top, jnp.where(L > 0, 32 - L, 0)), 0)
+        biw = biw + L
+        crossed = (biw >= 32).astype(jnp.int32)
+        biw = biw - 32 * crossed
+        wi = wi + crossed
+        nxt_f = fetch_word(wi + 1)
+        cur = jnp.where(crossed > 0, nxt, cur)
+        nxt = jnp.where(crossed > 0, nxt_f, nxt)
+        return v, cur, nxt, wi, biw
+
+    @pl.when(k == 0)
+    def _init_ctx():
+        ctx[...] = c0_ref[0]
+        regs[0:1] = jnp.full((1, LANES), 510, jnp.int32)  # rng placeholder
+
+    # rebase the bit reader at EVERY block start: window word 0 holds the
+    # lane's current bit position (biw0 = bit offset within it)
+    zero = jnp.zeros((1, LANES), jnp.int32)
+    biw = biw0_ref[0, 0]
+    wi = zero
+    cur = fetch_word(zero)
+    nxt = fetch_word(zero + 1)
+
+    @pl.when(k == 0)
+    def _init_engine():
+        # §9.3.4.3.1: range=510, offset = 9 bits
+        off, c2, n2, w2, b2 = read_bits(cur, nxt, wi, biw, zero + 9)
+        regs[0:1] = zero + 510
+        regs[1:2] = off
+        regs[2:3] = w2
+        regs[3:4] = b2
+        regs[4:5] = c2
+        regs[5:6] = n2
+
+    @pl.when(k > 0)
+    def _rebase():
+        regs[2:3] = wi
+        regs[3:4] = biw
+        regs[4:5] = cur
+        regs[5:6] = nxt
+
+    def bin_step(kind, slot, carry):
+        rng, off, wi, biw, cur, nxt = carry
+        cmask = (iota_ctx == slot).astype(jnp.int32)
+        c = jnp.sum(ctx[...] * cmask, axis=0, keepdims=True)
+        p = c & 63
+        mps = _srl(c, 6)
+
+        q = _srl(rng, 6) & 3
+        tmask = (iota_tbl == (p * 4 + q)).astype(jnp.int32)
+        packed = jnp.sum(tblcol * tmask, axis=0, keepdims=True)
+        lps = _srl(packed, 16) & 255
+        rng2 = rng - lps
+        is_lps = (off >= rng2).astype(jnp.int32)
+        bin_ctx = jnp.where(is_lps > 0, 1 - mps, mps)
+        off_ctx = jnp.where(is_lps > 0, off - rng2, off)
+        rng_ctx = jnp.where(is_lps > 0, lps, rng2)
+        new_mps = jnp.where((is_lps > 0) & (p == 0), 1 - mps, mps)
+        new_p = jnp.where(is_lps > 0, _srl(packed, 8) & 255, packed & 255)
+        c_new = new_p | lax.shift_left(new_mps, 6)
+
+        rng_t = rng - 2
+        bin_t = (off >= rng_t).astype(jnp.int32)
+
+        is_ctx = (kind == KIND_CTX).astype(jnp.int32)
+        is_byp = (kind == KIND_BYPASS).astype(jnp.int32)
+        is_trm = (kind == KIND_TERMINATE).astype(jnp.int32)
+        offb = jnp.where(is_ctx > 0, off_ctx, off)
+        rngf = jnp.where(
+            is_ctx > 0, rng_ctx, jnp.where(is_trm > 0, rng_t, rng)
+        )
+        sh = (
+            (rngf < 256).astype(jnp.int32) + (rngf < 128) + (rngf < 64)
+            + (rngf < 32) + (rngf < 16) + (rngf < 8) + (rngf < 4)
+        )
+        L = jnp.where(
+            is_byp > 0,
+            1,
+            jnp.where(
+                is_trm > 0, jnp.where(bin_t > 0, 0, sh),
+                jnp.where(is_ctx > 0, sh, 0)
+            ),
+        )
+        v, cur, nxt, wi, biw = read_bits(cur, nxt, wi, biw, L)
+
+        off_sh = lax.shift_left(offb, L) | v
+        bin_b = (off_sh >= rng).astype(jnp.int32)
+        off_byp = off_sh - rng * bin_b
+        bin_out = jnp.where(
+            is_ctx > 0, bin_ctx, jnp.where(is_byp > 0, bin_b, bin_t)
+        )
+        off_new = jnp.where(is_byp > 0, off_byp, off_sh)
+        rng_new = jnp.where(is_byp > 0, rng, lax.shift_left(rngf, L))
+        is_pad = (kind == KIND_PAD).astype(jnp.int32)
+        off_new = jnp.where(is_pad > 0, off, off_new)
+        rng_new = jnp.where(is_pad > 0, rng, rng_new)
+
+        wmask = cmask * is_ctx
+        ctx[...] = ctx[...] * (1 - wmask) + c_new * wmask
+
+        return bin_out, (rng_new, off_new, wi, biw, cur, nxt)
+
+    def group(g, carry):
+        kwin = kinds_ref[0, pl.ds(g * 8, 8), :]
+        swin = slots_ref[0, pl.ds(g * 8, 8), :]
+        outs = []
+        for j in range(8):
+            bin_out, carry = bin_step(kwin[j : j + 1, :], swin[j : j + 1, :],
+                                      carry)
+            outs.append(bin_out)
+        bins_ref[0, pl.ds(g * 8, 8), :] = jnp.concatenate(outs, axis=0)
+        return carry
+
+    carry = tuple(regs[j : j + 1] for j in range(6))
+    carry = lax.fori_loop(0, blk // 8, group, carry)
+    for j in range(6):
+        regs[j : j + 1] = carry[j]
+    state_out_ref[0] = ctx[...]
+
+
+def _windowed_call(n_blocks, w_blk, blk, interpret):
+    kernel = partial(_kernel_windowed, blk=blk, w_blk=w_blk)
+    return pl.pallas_call(
+        kernel,
+        grid=(1, n_blocks),
+        in_specs=[
+            pl.BlockSpec((256, LANES), lambda b, k: (0, 0)),
+            pl.BlockSpec((1, 1, w_blk, LANES), lambda b, k: (b, k, 0, 0)),
+            pl.BlockSpec((1, 1, 1, LANES), lambda b, k: (b, k, 0, 0)),
+            pl.BlockSpec((1, N_CTX, LANES), lambda b, k: (b, 0, 0)),
+            pl.BlockSpec((1, blk, LANES), lambda b, k: (b, k, 0)),
+            pl.BlockSpec((1, blk, LANES), lambda b, k: (b, k, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, LANES), lambda b, k: (b, k, 0)),
+            pl.BlockSpec((1, N_CTX, LANES), lambda b, k: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_blocks * blk, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, N_CTX, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N_CTX, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def pack_windowed_batch(batch, blk: int = 256):
+    """Pack up to 128 (rbsp, TraceSegment) pairs into windowed-replay
+    arrays. Segments must carry `positions` (bit pos after each bin).
+
+    Returns dict(windows, biw0, c0, kinds, slots, n_blocks, w_blk)."""
+    n = len(batch)
+    assert n <= LANES
+    S = max(s.n_bins for _, s in batch)
+    S_pad = -(-S // blk) * blk
+    n_blocks = S_pad // blk
+    kinds = np.full((S_pad, LANES), KIND_PAD, np.int32)
+    slots = np.zeros((S_pad, LANES), np.int32)
+    c0 = np.zeros((N_CTX, LANES), np.int32)
+
+    # per-lane word arrays (whole segment, for window gathers)
+    lane_words = []
+    base_bits = []
+    for i, (rbsp, s) in enumerate(batch):
+        kinds[: s.n_bins, i] = s.kinds
+        slots[: s.n_bins, i] = s.slots
+        c0[:, i] = s.p0.astype(np.int32) | (s.mps0.astype(np.int32) << 6)
+        chunk = np.frombuffer(rbsp[s.byte_start : s.byte_end], np.uint8)
+        nw = -(-(chunk.size + 8) // 4)
+        by = np.zeros(nw * 4, np.uint8)
+        by[: chunk.size] = chunk
+        w32 = by.reshape(nw, 4).astype(np.uint32)
+        lane_words.append(
+            ((w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8)
+             | w32[:, 3]).view(np.int32)
+        )
+        base_bits.append(s.byte_start * 8)
+
+    # block-start positions per lane (relative to segment start)
+    starts = np.zeros((n_blocks, LANES), np.int64)
+    ends = np.zeros((n_blocks, LANES), np.int64)
+    for i, (_, s) in enumerate(batch):
+        pos = np.asarray(s.positions, np.int64) - base_bits[i]
+        nb = s.n_bins
+        for k in range(n_blocks):
+            b0 = k * blk
+            starts[k, i] = 0 if b0 == 0 else pos[min(b0, nb) - 1]
+            b1 = min((k + 1) * blk, nb)
+            ends[k, i] = pos[b1 - 1] if b1 > 0 else 0
+    # window size: bits consumed + funnel lookahead (cur,nxt + prefetch)
+    need = ((starts & 31) + (ends - starts)) // 32 + 3
+    w_blk = int(-(-int(need.max()) // 8) * 8)
+
+    windows = np.zeros((n_blocks, w_blk, LANES), np.int32)
+    biw0 = np.zeros((n_blocks, 1, LANES), np.int32)
+    for i in range(n):
+        lw = lane_words[i]
+        for k in range(n_blocks):
+            base = int(starts[k, i] >> 5)
+            biw0[k, 0, i] = int(starts[k, i] & 31)
+            src = lw[base : base + w_blk]
+            windows[k, : src.size, i] = src
+    return {
+        "windows": windows, "biw0": biw0, "c0": c0,
+        "kinds": kinds, "slots": slots,
+        "n_blocks": n_blocks, "w_blk": w_blk, "S_pad": S_pad,
+    }
+
+
+def replay_windowed_batch(batch, blk: int = 256, interpret: bool = False):
+    """Windowed replay of <=128 segments; returns (bins [S_pad,128],
+    state [N_CTX,128])."""
+    p = pack_windowed_batch(batch, blk=blk)
+    bins, state = _windowed_call(
+        p["n_blocks"], p["w_blk"], blk, interpret
+    )(
+        _tbl_device(),
+        jnp.asarray(p["windows"][None]),
+        jnp.asarray(p["biw0"][None]),
+        jnp.asarray(p["c0"][None]),
+        jnp.asarray(p["kinds"][None]),
+        jnp.asarray(p["slots"][None]),
+    )
+    return np.asarray(bins)[0], np.asarray(state)[0]
+
+
+# --------------------------------------------------------------------------
 # Whole-image replay: sorted lane batches over every (tile, WPP-row) stream
 # --------------------------------------------------------------------------
 

@@ -123,3 +123,22 @@ def test_replay_batched_lanes_interpret(traced):
                 bins[b, : s.n_bins, i].astype(np.uint8), s.bins
             ), f"batch {b} seg {i} bins differ"
     assert np.array_equal(state[0], state[1])
+
+
+def test_replay_windowed_interpret(traced):
+    """Windowed (block-rebased bit reader) engine variant: bit-exact on
+    real-tape prefixes; see ops/pallas_cabac.py for the measured result
+    that motivated and bounded it."""
+    from heif_tpu.ops.pallas_cabac import replay_windowed_batch
+
+    rbsp, segs = traced
+    trunc = []
+    for s in segs:
+        t = _truncate(s, 256)
+        t.positions = s.positions[:256]
+        trunc.append((rbsp, t))
+    bins, _state = replay_windowed_batch(trunc, blk=64, interpret=True)
+    for i, (_, t) in enumerate(trunc):
+        assert np.array_equal(
+            bins[: t.n_bins, i].astype(np.uint8), t.bins
+        ), f"lane {i}"
