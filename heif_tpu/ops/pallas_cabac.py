@@ -356,15 +356,20 @@ def bench_replay_device(
 # (w_blk collapses to 16 rows) plus the base bit offset, and the kernel
 # re-anchors its bit reader at each block boundary.
 #
-# MEASURED RESULT (v5e, all 768 real streams, bit-exact): throughput is
-# UNCHANGED vs the full-stream kernel (~35-42 Mbins/s real) — the fetch
-# was never the bottleneck. The remaining per-bin cost is the context
-# read/modify/write ([136,128] masked ops) and packed-table select
-# ([256,128]) plus per-step loop overhead; the next meaningful lever is
-# packing context slots 4-per-word and the table's q-dimension into
-# bytes, not window size. Kept as the validated rebasing foundation
-# (block-anchored readers are also what a future device-side tape
-# GENERATOR needs, since it cannot know bit positions in advance).
+# MEASURED RESULTS (v5e, all 768 real streams, bit-exact):
+# - window shrink alone (W 1184 -> 16): throughput UNCHANGED vs the
+#   full-stream kernel (~35-42 Mbins/s real) — the per-bin word fetch
+#   was never the bottleneck;
+# - adding packed contexts (4 slots/word, 34 rows) and byte-packed
+#   tables (one 64-row mask serving both constants): ~42-50 Mbins/s
+#   real — a 10-20% gain. The residual floor is the per-bin-step
+#   elementwise op count and Mosaic loop overhead, not memory masks.
+# Kept as the better engine variant and the validated rebasing
+# foundation (block-anchored readers are also what a future device-side
+# tape GENERATOR needs, since it cannot know bit positions in advance).
+
+
+N_CTXP = N_CTX // 4  # packed context rows (4 slots of p|mps<<6 per word)
 
 
 def _kernel_windowed(tbl_ref, words_ref, biw0_ref, c0_ref, kinds_ref,
@@ -372,11 +377,11 @@ def _kernel_windowed(tbl_ref, words_ref, biw0_ref, c0_ref, kinds_ref,
                      blk: int, w_blk: int):
     k = pl.program_id(1)
 
-    iota_ctx = lax.broadcasted_iota(jnp.int32, (N_CTX, LANES), 0)
+    iota_ctx = lax.broadcasted_iota(jnp.int32, (N_CTXP, LANES), 0)
     iota_w = lax.broadcasted_iota(jnp.int32, (w_blk, LANES), 0)
-    iota_tbl = lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    iota_tbl = lax.broadcasted_iota(jnp.int32, (64, LANES), 0)
     words = words_ref[0, 0]
-    tblcol = tbl_ref[...]
+    tblcol = tbl_ref[...]  # [64,LANES]: rangeLps for q=0..3 packed per byte
 
     def fetch_word(idx):
         m = (iota_w == idx).astype(jnp.int32)
@@ -429,22 +434,28 @@ def _kernel_windowed(tbl_ref, words_ref, biw0_ref, c0_ref, kinds_ref,
 
     def bin_step(kind, slot, carry):
         rng, off, wi, biw, cur, nxt = carry
-        cmask = (iota_ctx == slot).astype(jnp.int32)
-        c = jnp.sum(ctx[...] * cmask, axis=0, keepdims=True)
+        # packed context fetch: 4 slots per word -> one mask over 34 rows
+        crow = _srl(slot, 2)
+        csh = lax.shift_left(slot & 3, 3)  # byte offset * 8
+        cmask = (iota_ctx == crow).astype(jnp.int32)
+        cword = jnp.sum(ctx[...] * cmask, axis=0, keepdims=True)
+        c = _srl(cword, csh) & 127
         p = c & 63
         mps = _srl(c, 6)
 
+        # packed tables: ONE row mask (on p) serves both constants
         q = _srl(rng, 6) & 3
-        tmask = (iota_tbl == (p * 4 + q)).astype(jnp.int32)
-        packed = jnp.sum(tblcol * tmask, axis=0, keepdims=True)
-        lps = _srl(packed, 16) & 255
+        tmask = (iota_tbl == p).astype(jnp.int32)
+        ta = jnp.sum(tblcol[:64] * tmask, axis=0, keepdims=True)
+        tb = jnp.sum(tblcol[64:] * tmask, axis=0, keepdims=True)
+        lps = _srl(ta, lax.shift_left(q, 3)) & 255
         rng2 = rng - lps
         is_lps = (off >= rng2).astype(jnp.int32)
         bin_ctx = jnp.where(is_lps > 0, 1 - mps, mps)
         off_ctx = jnp.where(is_lps > 0, off - rng2, off)
         rng_ctx = jnp.where(is_lps > 0, lps, rng2)
         new_mps = jnp.where((is_lps > 0) & (p == 0), 1 - mps, mps)
-        new_p = jnp.where(is_lps > 0, _srl(packed, 8) & 255, packed & 255)
+        new_p = jnp.where(is_lps > 0, _srl(tb, 8) & 255, tb & 255)
         c_new = new_p | lax.shift_left(new_mps, 6)
 
         rng_t = rng - 2
@@ -483,8 +494,12 @@ def _kernel_windowed(tbl_ref, words_ref, biw0_ref, c0_ref, kinds_ref,
         off_new = jnp.where(is_pad > 0, off, off_new)
         rng_new = jnp.where(is_pad > 0, rng, rng_new)
 
+        # packed RMW: splice the 7-bit field back into its byte lane
+        word_new = (cword & ~lax.shift_left(127, csh)) | lax.shift_left(
+            c_new, csh
+        )
         wmask = cmask * is_ctx
-        ctx[...] = ctx[...] * (1 - wmask) + c_new * wmask
+        ctx[...] = ctx[...] + wmask * (word_new - cword)
 
         return bin_out, (rng_new, off_new, wi, biw, cur, nxt)
 
@@ -506,29 +521,59 @@ def _kernel_windowed(tbl_ref, words_ref, biw0_ref, c0_ref, kinds_ref,
     state_out_ref[0] = ctx[...]
 
 
+def _tbl_device_packed():
+    """[128, LANES] constant: rows 0..63 = rangeTabLps q0..q3 packed per
+    byte; rows 64..127 = transIdxMps | transIdxLps<<8."""
+    a = np.zeros(64, np.int64)
+    b = np.zeros(64, np.int64)
+    for p in range(64):
+        for q in range(4):
+            a[p] |= int(E.RANGE_TAB_LPS[p * 4 + q]) << (8 * q)
+        b[p] = int(E.TRANS_IDX_MPS[p]) | (int(E.TRANS_IDX_LPS[p]) << 8)
+    packed = np.concatenate([a, b]).astype(np.int32)
+    return jnp.asarray(np.broadcast_to(packed[:, None], (128, LANES)).copy())
+
+
+def _pack_ctx4(c0: np.ndarray) -> np.ndarray:
+    """[N_CTX, LANES] -> [N_CTX//4, LANES], 4 slots per word (8 bits
+    each, p|mps<<6 in the low 7)."""
+    c = c0.astype(np.int64).reshape(N_CTXP, 4, -1)
+    return (
+        c[:, 0] | (c[:, 1] << 8) | (c[:, 2] << 16) | (c[:, 3] << 24)
+    ).astype(np.int32)
+
+
+def _unpack_ctx4(packed: np.ndarray) -> np.ndarray:
+    """[N_CTX//4, LANES] -> [N_CTX, LANES] (row r holds slots 4r..4r+3)."""
+    out = np.zeros((N_CTX, packed.shape[-1]), np.int32)
+    for j in range(4):
+        out[j::4] = (packed >> (8 * j)) & 127
+    return out
+
+
 def _windowed_call(n_blocks, w_blk, blk, interpret):
     kernel = partial(_kernel_windowed, blk=blk, w_blk=w_blk)
     return pl.pallas_call(
         kernel,
         grid=(1, n_blocks),
         in_specs=[
-            pl.BlockSpec((256, LANES), lambda b, k: (0, 0)),
+            pl.BlockSpec((128, LANES), lambda b, k: (0, 0)),
             pl.BlockSpec((1, 1, w_blk, LANES), lambda b, k: (b, k, 0, 0)),
             pl.BlockSpec((1, 1, 1, LANES), lambda b, k: (b, k, 0, 0)),
-            pl.BlockSpec((1, N_CTX, LANES), lambda b, k: (b, 0, 0)),
+            pl.BlockSpec((1, N_CTXP, LANES), lambda b, k: (b, 0, 0)),
             pl.BlockSpec((1, blk, LANES), lambda b, k: (b, k, 0)),
             pl.BlockSpec((1, blk, LANES), lambda b, k: (b, k, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, blk, LANES), lambda b, k: (b, k, 0)),
-            pl.BlockSpec((1, N_CTX, LANES), lambda b, k: (b, 0, 0)),
+            pl.BlockSpec((1, N_CTXP, LANES), lambda b, k: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n_blocks * blk, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, N_CTX, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, N_CTXP, LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_CTX, LANES), jnp.int32),
+            pltpu.VMEM((N_CTXP, LANES), jnp.int32),
             pltpu.VMEM((8, LANES), jnp.int32),
         ],
         interpret=interpret,
@@ -605,14 +650,14 @@ def replay_windowed_batch(batch, blk: int = 256, interpret: bool = False):
     bins, state = _windowed_call(
         p["n_blocks"], p["w_blk"], blk, interpret
     )(
-        _tbl_device(),
+        _tbl_device_packed(),
         jnp.asarray(p["windows"][None]),
         jnp.asarray(p["biw0"][None]),
-        jnp.asarray(p["c0"][None]),
+        jnp.asarray(_pack_ctx4(p["c0"])[None]),
         jnp.asarray(p["kinds"][None]),
         jnp.asarray(p["slots"][None]),
     )
-    return np.asarray(bins)[0], np.asarray(state)[0]
+    return np.asarray(bins)[0], _unpack_ctx4(np.asarray(state)[0])
 
 
 # --------------------------------------------------------------------------
