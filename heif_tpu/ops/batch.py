@@ -726,10 +726,35 @@ _EXC_CAP = 4096
 
 def _sparse_val_cap(n_coeff: int) -> int:
     """Nonzero-value capacity of the sparse8 coefficient mode: a fixed
-    1/4 of the samples (real content runs ~13% nonzero), rounded so the
+    3/16 of the samples (real content runs ~13% nonzero), rounded so the
     cap — and with it the compiled program shape — is a pure function of
-    the class layout."""
-    return -(-n_coeff // 4) if n_coeff else 0
+    the class layout. Denser chunks fall back to the i8 mode."""
+    return -(-(3 * n_coeff) // 16) if n_coeff else 0
+
+
+# ---- warm host-buffer pool for the wire blobs ----
+# The microVM hosts serve first-touch page faults at ~300us/page, so a
+# fresh 5 MB numpy allocation costs ~20x its memcpy time; reusing pooled
+# buffers keeps the pages warm. Double-buffered per (dtype, size) so the
+# next chunk never rewrites a buffer whose H2D enqueue may still be
+# reading (the proxy client copies at enqueue, this is belt-and-braces).
+_buf_pool: dict = {}
+
+
+def _pool_buf(dtype, n: int) -> np.ndarray:
+    key = (np.dtype(dtype).str, int(n))
+    entry = _buf_pool.get(key)
+    if entry is None:
+        if len(_buf_pool) > 96:
+            _buf_pool.clear()
+        pair = [np.empty(n, dtype), np.empty(n, dtype)]
+        for b in pair:
+            b.fill(0)  # touch pages once at allocation
+        entry = _buf_pool[key] = (pair, [0])
+    pair, idx = entry
+    buf = pair[idx[0]]
+    idx[0] ^= 1
+    return buf
 
 
 def _bundle_plan(bp: BatchPlan):
@@ -742,14 +767,22 @@ def _bundle_plan(bp: BatchPlan):
     them with static offsets (free under XLA fusion).
 
     The wire format is additionally size-optimized — on tunneled hosts
-    the H2D stream shares one link with the decoded-plane readback, so
-    plan bytes directly displace pixel bytes:
-      - coefficients ship as int8 + a sparse exception list (|v|>127 is
-        ~0.0004% of samples on real content); int16 fallback per chunk
-        when exceptions overflow _EXC_CAP
-      - the 6 per-TU scan fields pack into 2 int32 words
-      - per-block qp+org pack into 1 int32 (org+1 in the high bits)
-      - qp_map ships as int8, sao as int16
+    the H2D stream shares one link with the decoded-plane readback, and
+    every wire byte also costs proxy-client serialization CPU on the
+    2-core host, so plan bytes directly displace both pixel bytes and
+    entropy CPU:
+      - coefficients ship as a significance bitmap + densely packed int8
+        values (cap 3/16 of samples) + a sparse exception list for
+        |v|>127 (~0.0004% of samples on real content); int8 / int16
+        fallbacks per chunk when the caps overflow
+      - per-TU scan fields pack into 1 int32 (x|y) + 1 int16 (meta bits)
+      - per-block qp+org pack into 1 int32 (org+1 in the high bits); the
+        DST flag is not shipped at all (it is a pure function of the
+        class: 4x4 luma intra)
+      - qp_map ships as int8; the three boolean CTB maps (no-filter,
+        vert/horiz edges) ship as packed bits
+    All blob buffers come from a warm double-buffered pool (_pool_buf) so
+    steady-state bundling never touches a cold page.
 
     Returns (b16, b32, b8, pcm_blob_or_None, layout) with `layout`
     hashable (it is a static jit argument).
@@ -758,47 +791,37 @@ def _bundle_plan(bp: BatchPlan):
     cls_layout = tuple(
         (k[0], k[1], int(bp.tc_coeffs[k].shape[0])) for k in keys
     )
-    b16, b32, b8 = [], [], []
+    ns = tuple(int(bp.xs[c][0].shape[1]) for c in range(3))
+    n = bp.n
+    qp_n = int(np.prod(bp.qp_map.shape))
+    sao_n = int(np.prod(bp.sao.shape))
+    skeys = tuple(sorted(bp.scaling.keys()))
+    n_coeff = sum(t * s * s for _, s, t in cls_layout)
+    val_cap = _sparse_val_cap(n_coeff)
+    map_bytes = -(-qp_n // 8)
 
-    # ---- coefficients: sparse8 / int8 / int16 wire modes ----
-    # quantized levels on real content are ~87% zero and ~99.9996% within
-    # int8, so the preferred encoding is a significance BITMAP (1
-    # bit/sample) plus densely-packed int8 values for the nonzeros (cap =
-    # 1/4 of the samples, a fixed fraction so the compiled program count
-    # stays bounded), plus the sparse exception list for |v|>127. Denser
-    # streams fall back to plain int8, then int16.
-    if keys:
-        coeff_flat = np.concatenate(
-            [bp.tc_coeffs[k].reshape(-1) for k in keys]
-        )
-    else:
-        coeff_flat = np.zeros(0, np.int16)
-    exc_idx = np.flatnonzero(np.abs(coeff_flat) > 127)
-    nz = coeff_flat != 0
-    nnz = int(nz.sum())
-    val_cap = _sparse_val_cap(coeff_flat.size)
-    if exc_idx.size <= _EXC_CAP and nnz <= val_cap and coeff_flat.size:
+    # ---- flatten coefficients into a pooled scratch + classify mode ----
+    cf = _pool_buf(np.int16, n_coeff)
+    off = 0
+    for k in keys:
+        a = bp.tc_coeffs[k].reshape(-1)
+        cf[off : off + a.size] = a
+        off += a.size
+    nzb = _pool_buf(np.bool_, n_coeff)
+    np.not_equal(cf, 0, out=nzb)
+    nnz = int(np.count_nonzero(nzb))
+    excb = _pool_buf(np.bool_, n_coeff + 1)[:n_coeff]  # +1: distinct key
+    np.greater(cf, 127, out=excb)
+    small = _pool_buf(np.bool_, n_coeff + 2)[:n_coeff]
+    np.less(cf, -128, out=small)
+    np.logical_or(excb, small, out=excb)
+    exc_idx = np.flatnonzero(excb)
+    if exc_idx.size <= _EXC_CAP and nnz <= val_cap and n_coeff:
         coeff_mode = "sparse8"
-        b8.append(np.packbits(nz))  # MSB-first, zero-padded to a byte
-        vals = np.zeros(val_cap, np.int8)
-        vals[:nnz] = np.clip(coeff_flat[nz], -128, 127).astype(np.int8)
-        b8.append(vals.view(np.uint8))
     elif exc_idx.size <= _EXC_CAP:
         coeff_mode = "i8"
-        b8.append(
-            np.clip(coeff_flat, -128, 127).astype(np.int8).view(np.uint8)
-        )
     else:
         coeff_mode = "i16"
-        b16.append(coeff_flat)
-    if coeff_mode != "i16":
-        exc_val = coeff_flat[exc_idx].astype(np.int32)
-        idx_pad = np.full(_EXC_CAP, coeff_flat.size, np.int32)
-        idx_pad[: exc_idx.size] = exc_idx
-        val_pad = np.zeros(_EXC_CAP, np.int32)
-        val_pad[: exc_idx.size] = exc_val
-        b32.append(idx_pad)
-        b32.append(val_pad)
 
     # qp (7 bits) | org+1 (high bits) packs into int32 only while
     # org+1 < 2^25 (~33.5M padded samples per plane per chunk); larger
@@ -808,61 +831,130 @@ def _bundle_plan(bp: BatchPlan):
         (int(bp.tc_org[k].max(initial=-1)) for k in keys), default=-1
     )
     pack_qporg = max_org + 1 < (1 << 25)
+
+    # ---- compute blob sizes, grab pooled buffers ----
+    n_blocks = sum(t for _, _, t in cls_layout)
+    n_scan = sum(n * ns[c] for c in range(3))
+    sz16 = (n_coeff if coeff_mode == "i16" else 0) + sao_n + n_scan
+    sz32 = (
+        (2 * _EXC_CAP if coeff_mode != "i16" else 0)
+        + n_blocks * (1 if pack_qporg else 2)
+        + n_scan
+        + 3 * n
+        + sum(sk[0] * sk[0] for sk in skeys)
+    )
+    sz8 = (
+        (-(-n_coeff // 8) + val_cap if coeff_mode == "sparse8" else 0)
+        + (n_coeff if coeff_mode == "i8" else 0)
+        + 2 * n_blocks
+        + qp_n
+        + 3 * map_bytes
+    )
+    b16 = _pool_buf(np.int16, sz16)
+    b32 = _pool_buf(np.int32, sz32)
+    b8 = _pool_buf(np.uint8, sz8)
+    o16 = o32 = o8 = 0
+
+    # ---- b16/b32/b8 fills, in the exact order _core_blobs reads ----
+    if coeff_mode == "i16":
+        b16[:n_coeff] = cf
+        o16 = n_coeff
+    elif coeff_mode == "sparse8":
+        nbytes = -(-n_coeff // 8)
+        b8[:nbytes] = np.packbits(nzb)  # MSB-first, zero-padded
+        o8 = nbytes
+        vals16 = _pool_buf(np.int16, n_coeff + 1)[:n_coeff]
+        np.compress(nzb, cf, out=vals16[:nnz])
+        np.clip(vals16[:nnz], -128, 127, out=vals16[:nnz])
+        seg = b8[o8 : o8 + val_cap].view(np.int8)
+        np.copyto(seg[:nnz], vals16[:nnz], casting="unsafe")
+        seg[nnz:] = 0
+        o8 += val_cap
+    else:  # i8
+        seg = b8[:n_coeff].view(np.int8)
+        vals16 = _pool_buf(np.int16, n_coeff + 1)[:n_coeff]
+        np.clip(cf, -128, 127, out=vals16)
+        np.copyto(seg, vals16, casting="unsafe")
+        o8 = n_coeff
+    if coeff_mode != "i16":
+        # padding exceptions point one past the end (dropped on device)
+        b32[o32 : o32 + _EXC_CAP] = n_coeff
+        b32[o32 : o32 + exc_idx.size] = exc_idx
+        o32 += _EXC_CAP
+        b32[o32 : o32 + _EXC_CAP] = 0
+        b32[o32 : o32 + exc_idx.size] = cf[exc_idx]
+        o32 += _EXC_CAP
+
     for k in keys:
+        t = bp.tc_qp[k].shape[0]
         if pack_qporg:
             # org == -1 padding -> 0 in the high bits
-            b32.append(
-                (
-                    (bp.tc_org[k].astype(np.int64) + 1) << 7 | bp.tc_qp[k]
-                ).astype(np.int32)
+            np.copyto(
+                b32[o32 : o32 + t],
+                (bp.tc_org[k].astype(np.int64) + 1) << 7 | bp.tc_qp[k],
+                casting="unsafe",
             )
+            o32 += t
         else:
-            b32.append(bp.tc_qp[k])
-            b32.append(bp.tc_org[k])
-        b8.append(bp.tc_dst[k].view(np.uint8))
-        b8.append(bp.tc_skip[k].view(np.uint8))
-        b8.append(bp.tc_bypass[k].view(np.uint8))
-    ns = tuple(int(bp.xs[c][0].shape[1]) for c in range(3))
+            b32[o32 : o32 + t] = bp.tc_qp[k]
+            o32 += t
+            b32[o32 : o32 + t] = bp.tc_org[k]
+            o32 += t
+        b8[o8 : o8 + t] = bp.tc_skip[k].view(np.uint8)
+        o8 += t
+        b8[o8 : o8 + t] = bp.tc_bypass[k].view(np.uint8)
+        o8 += t
+
+    b16[o16 : o16 + sao_n] = np.ascontiguousarray(
+        bp.sao, dtype=np.int16
+    ).reshape(-1)
+    o16 += sao_n
     for c in range(3):
-        x, y, size, mode, filt, pcm_f = (
-            bp.xs[c][f].astype(np.int64) for f in range(6)
+        m = n * ns[c]
+        x, y, size, mode, filt, pcm_f = (bp.xs[c][f] for f in range(6))
+        np.copyto(
+            b32[o32 : o32 + m].reshape(n, ns[c]),
+            x | (y << 16),
+            casting="unsafe",
         )
-        # size in {0,4,8,16,32} -> log2-2 in {0..3} (0 doubles as inactive;
-        # the size==0 slots are masked by counts on device)
-        log2m2 = (size == 8) * 1 + (size == 16) * 2 + (size == 32) * 3
-        b32.append((x | (y << 16)).astype(np.int32).reshape(-1))
-        b32.append(
-            (
-                log2m2
-                | (mode << 2)
-                | (filt << 8)
-                | (pcm_f << 9)
-                | ((size > 0).astype(np.int64) << 10)
-            )
-            .astype(np.int32)
-            .reshape(-1)
+        o32 += m
+        # size in {0,4,8,16,32} -> log2-2 in {0..3} (0 doubles as
+        # inactive; the size==0 slots are masked by counts on device)
+        log2m2 = (
+            (size == 8) * 1 + (size == 16) * 2 + (size == 32) * 3
         )
-        b32.append(bp.counts[c])
-    b8.append(bp.qp_map.astype(np.int8).view(np.uint8).reshape(-1))
-    b16.append(np.ascontiguousarray(bp.sao, dtype=np.int16).reshape(-1))
-    b8.append(bp.nf_map.view(np.uint8).reshape(-1))
-    b8.append(bp.vert_edges.view(np.uint8).reshape(-1))
-    b8.append(bp.horiz_edges.view(np.uint8).reshape(-1))
-    skeys = tuple(sorted(bp.scaling.keys()))
+        np.copyto(
+            b16[o16 : o16 + m].reshape(n, ns[c]),
+            log2m2
+            | (mode << 2)
+            | (filt << 8)
+            | (pcm_f << 9)
+            | ((size > 0) << 10),
+            casting="unsafe",
+        )
+        o16 += m
+        b32[o32 : o32 + n] = bp.counts[c]
+        o32 += n
+    np.copyto(
+        b8[o8 : o8 + qp_n].view(np.int8),
+        bp.qp_map.reshape(-1),
+        casting="unsafe",
+    )
+    o8 += qp_n
+    for mp in (bp.nf_map, bp.vert_edges, bp.horiz_edges):
+        b8[o8 : o8 + map_bytes] = np.packbits(mp.reshape(-1))
+        o8 += map_bytes
     for sk in skeys:
-        b32.append(bp.scaling[sk].astype(np.int32, copy=False).reshape(-1))
+        m = sk[0] * sk[0]
+        b32[o32 : o32 + m] = bp.scaling[sk].reshape(-1)
+        o32 += m
+    assert o16 == sz16 and o32 == sz32 and o8 == sz8
     pcm_blob = None
     if any(p is not None for p in bp.pcm):
         pcm_blob = np.concatenate([p.reshape(-1) for p in bp.pcm])
     layout = (cls_layout, ns, bp.qp_map.shape, bp.sao.shape, skeys,
               pcm_blob is not None, coeff_mode, pack_qporg)
-    return (
-        np.concatenate(b16) if b16 else np.zeros(0, np.int16),
-        np.concatenate(b32),
-        np.concatenate(b8),
-        pcm_blob,
-        layout,
-    )
+    return (b16, b32, b8, pcm_blob, layout)
 
 
 def _core_blobs(
@@ -894,16 +986,18 @@ def _core_blobs(
         o8 += m
         return out
 
+    def unpack_bits(bm, count):
+        # unpack MSB-first (numpy packbits order)
+        return (
+            (bm[:, None] >> (7 - jnp.arange(8, dtype=jnp.uint8)[None, :]))
+            & 1
+        ).reshape(-1)[:count]
+
     # ---- coefficients: sparse8 (bitmap + packed values), int8, int16 ----
     n_coeff = sum(total * size * size for _, size, total in cls_layout)
     if coeff_mode == "sparse8":
         nbytes = -(-n_coeff // 8)
-        bm = take8(nbytes)
-        # unpack MSB-first (numpy packbits order)
-        bits = (
-            (bm[:, None] >> (7 - jnp.arange(8, dtype=jnp.uint8)[None, :]))
-            & 1
-        ).astype(jnp.int32).reshape(-1)[:n_coeff]
+        bits = unpack_bits(take8(nbytes), n_coeff).astype(jnp.int32)
         val_cap = _sparse_val_cap(n_coeff)
         vals = lax.bitcast_convert_type(take8(val_cap), jnp.int8).astype(
             jnp.int32
@@ -952,15 +1046,18 @@ def _core_blobs(
         else:
             qp = take32(total)
             org = take32(total)
-        dst = take8(total).astype(jnp.bool_)
         skip = take8(total).astype(jnp.bool_)
         byp = take8(total).astype(jnp.bool_)
+        # DST vs DCT is a pure function of the class: 4x4 luma intra TBs
+        # use the DST (H.265 §8.6.4); nothing on the wire
+        dst = jnp.full((total,), comp == 0 and size == 4, jnp.bool_)
         tc_arrays[(comp, size)] = (metas[i], qp, dst, skip, byp, org)
+    sao = take16(int(np.prod(sao_shape))).astype(jnp.int32).reshape(sao_shape)
     xs = []
     counts = []
     for c in range(3):
         xy = take32(n * ns[c]).reshape(n, ns[c])
-        meta = take32(n * ns[c]).reshape(n, ns[c])
+        meta = take16(n * ns[c]).reshape(n, ns[c]).astype(jnp.int32)
         x = xy & 0xFFFF
         y = (xy.astype(jnp.uint32) >> 16).astype(jnp.int32)
         active = (meta >> 10) & 1
@@ -971,17 +1068,22 @@ def _core_blobs(
         pcm_f = (meta >> 9) & 1
         xs.append((x, y, size, mode, filt, pcm_f))
         counts.append(take32(n))
+    qp_n = int(np.prod(qp_shape))
+    map_bytes = -(-qp_n // 8)
     qp_map = (
-        lax.bitcast_convert_type(
-            take8(int(np.prod(qp_shape))), jnp.int8
-        )
+        lax.bitcast_convert_type(take8(qp_n), jnp.int8)
         .astype(jnp.int32)
         .reshape(qp_shape)
     )
-    sao = take16(int(np.prod(sao_shape))).astype(jnp.int32).reshape(sao_shape)
-    nf_map = take8(int(np.prod(qp_shape))).reshape(qp_shape).astype(jnp.bool_)
-    vert = take8(int(np.prod(qp_shape))).reshape(qp_shape).astype(jnp.bool_)
-    horiz = take8(int(np.prod(qp_shape))).reshape(qp_shape).astype(jnp.bool_)
+    nf_map = (
+        unpack_bits(take8(map_bytes), qp_n).reshape(qp_shape).astype(jnp.bool_)
+    )
+    vert = (
+        unpack_bits(take8(map_bytes), qp_n).reshape(qp_shape).astype(jnp.bool_)
+    )
+    horiz = (
+        unpack_bits(take8(map_bytes), qp_n).reshape(qp_shape).astype(jnp.bool_)
+    )
     scaling = {}
     for sk in skeys:
         size = sk[0]
@@ -1354,6 +1456,94 @@ def decode_reconstruct_overlapped(
     ]
     mark("readback", t0)
     return out
+
+
+def decode_burst(
+    sps, pps, image_slice_lists, chunk: int | None = None,
+    hints: dict | None = None, stats=None,
+):
+    """Pipelined multi-image decode-to-device (BASELINE config-4 analog
+    on one chip): the chunk queues of ALL images share one entropy
+    executor, so host entropy of image k+1 overlaps pack/dispatch/device
+    compute of image k. Steady-state throughput is bound by host CPU
+    work (entropy + pack) alone — per-image dispatch tails and device
+    waits are hidden by the queue.
+
+    image_slice_lists: one list of parsed slices per image (all sharing
+    sps/pps geometry). Returns a list (per image) of lists (per chunk) of
+    [y, cb, cr] device arrays; call jax.block_until_ready on the result
+    to wait for the last image.
+    """
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from heif_tpu import native
+
+    if not image_slice_lists:
+        return []
+    if hints is None:
+        hints = schedule_hints(None, sps, pps, len(image_slice_lists[0]))
+    if stats is not None:
+        stats.scheduler = hints
+    if chunk is None:
+        chunk = hints.get("chunk", 16)
+    if native.available():
+        workers = hints.get("entropy_workers")
+        entropy_fn = lambda ps: native.decode_tiles_parallel(
+            sps, pps, ps, pack_pad=PAD, max_workers=workers
+        )
+    else:
+        from heif_tpu.cabac.syntax import TileSyntaxDecoder
+
+        entropy_fn = lambda ps: [
+            TileSyntaxDecoder(sps, pps, p).decode() for p in ps
+        ]
+
+    key = (
+        sps.pic_width_in_luma_samples,
+        sps.pic_height_in_luma_samples,
+        sps.ctb_log2_size_y,
+        sps.chroma_format_idc,
+        sps.bit_depth_luma_minus8,
+        sps.bit_depth_chroma_minus8,
+        min(chunk, len(image_slice_lists[0])),
+    )
+    tasks = []  # (image index, slice chunk)
+    for ii, slices in enumerate(image_slice_lists):
+        for lo in range(0, len(slices), chunk):
+            tasks.append((ii, list(slices[lo : lo + chunk])))
+
+    def mark(name, t0):
+        if stats is not None:
+            stats.stages[name] = stats.stages.get(name, 0.0) + (
+                _time.perf_counter() - t0
+            )
+
+    outs = [[] for _ in image_slice_lists]
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        futs = [(ii, c, ex.submit(entropy_fn, c)) for ii, c in tasks]
+        for ii, sl_chunk, fut in futs:
+            t0 = _time.perf_counter()
+            syn = list(fut.result())
+            mark("entropy_wait", t0)
+            if len(syn) < chunk and len(tasks) > 1:
+                padn = chunk - len(syn)
+                syn += [syn[-1]] * padn
+                sl_chunk = sl_chunk + [sl_chunk[-1]] * padn
+            t0 = _time.perf_counter()
+            n_steps, caps = _chunk_shapes(syn, len(syn))
+            n_steps, caps = _merge_sticky(key, n_steps, caps)
+            bp = pack_batch(
+                syn, sps, pps, sl_chunk, n_steps=n_steps, class_caps=caps
+            )
+            mark("pack", t0)
+            t0 = _time.perf_counter()
+            outs[ii].append(_dispatch_core(bp))
+            mark("dispatch", t0)
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
+    return outs
 
 
 def reconstruct_batch(bp: BatchPlan) -> list:
