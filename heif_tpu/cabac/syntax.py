@@ -125,6 +125,15 @@ class TileSyntaxDecoder:
         if self.tiles_on:
             self.tile_map = pps.tile_id_map(sps)
             self.ctb_order = pps.ctb_tile_scan(sps)
+            n_tiles = max(max(row) for row in self.tile_map) + 1
+            if len(self.substreams) < n_tiles:
+                # §7.3.6.1: the slice header must carry n_tiles-1 entry
+                # points; a malformed stream would otherwise IndexError
+                # mid-decode at the first tile jump
+                raise DecodeError(
+                    f"slice header has {len(self.substreams)} substream(s)"
+                    f" for {n_tiles} tiles"
+                )
         else:
             self.tile_map = None
             self.ctb_order = [

@@ -215,24 +215,24 @@ class HeicDecoder:
             ispe_t = props.property_of_type(
                 target, g.ImageSpatialExtentsProperty
             )
-            crop_off = (0, 0)
+            # the crop ORIGIN always comes from the SPS conformance
+            # window (§7.4.3.2.1): a window with nonzero left/top
+            # offsets starts at (sub*left, sub*top) even when an ispe
+            # property provides the output size. Sub-sampling factors
+            # are 2 for 4:2:0, 1 for monochrome.
+            sub = 2 if sps.chroma_format_idc == 1 else 1
+            crop_off = (
+                sub * sps.conf_win_left_offset,
+                sub * sps.conf_win_top_offset,
+            )
             if ispe_t is not None:
                 out_w, out_h = ispe_t.width, ispe_t.height
             else:
-                # conformance window (§7.4.3.2.1); sub-sampling factors
-                # are 2 for 4:2:0, 1 for monochrome. The window may be
-                # offset from the top-left: crop starts at
-                # (sub*left, sub*top), not always at (0, 0).
-                sub = 2 if sps.chroma_format_idc == 1 else 1
                 out_w = sps.pic_width_in_luma_samples - sub * (
                     sps.conf_win_left_offset + sps.conf_win_right_offset
                 )
                 out_h = sps.pic_height_in_luma_samples - sub * (
                     sps.conf_win_top_offset + sps.conf_win_bottom_offset
-                )
-                crop_off = (
-                    sub * sps.conf_win_left_offset,
-                    sub * sps.conf_win_top_offset,
                 )
             grid = g.GridConfig(
                 rows=1, columns=1, output_width=out_w, output_height=out_h
@@ -275,9 +275,23 @@ class HeicDecoder:
         # tiles-enabled pictures (intra-picture tile partitioning, rare in
         # HEIF) decode through the Python twin + numpy reconstruction:
         # the native engine and the device intra path are not
-        # tile-availability-aware yet
+        # tile-availability-aware yet. The downgrade is recorded in
+        # DecodeStats and logged so perf triage never needs a debugger.
         if pps.tiles_enabled_flag and backend == "jax":
             backend = "ref"
+            reason = (
+                "tiles_enabled_flag=1: jax backend downgraded to ref "
+                "(tile-aware entropy/recon run on the host reference path)"
+            )
+            if stats is not None:
+                stats.scheduler = dict(stats.scheduler or {})
+                stats.scheduler["backend_downgrade"] = reason
+            import logging
+
+            logging.getLogger("heif_tpu").info(reason)
+        if stats is not None:
+            stats.scheduler = dict(stats.scheduler or {})
+            stats.scheduler["effective_backend"] = backend
 
         def entropy(parsed):
             if native.available() and not pps.tiles_enabled_flag:

@@ -697,16 +697,18 @@ def schedule_hints(rec, sps, pps, n_tiles: int) -> dict:
     else:
         workers = min(max(n_tiles, 1), ncpu)
     # min_spatial_segmentation_idc bounds the smallest independently
-    # decodable region (ISO 14496-15 §A.3.2): segments smaller than one
-    # tile mean finer pipelining pays — use smaller chunks so the first
-    # device dispatch starts earlier.
+    # decodable region (ISO 14496-15 §A.3.2: segment <= 4*PicSize/
+    # (mss+4) luma samples): a declared segment at most HALF the
+    # picture means real sub-picture segmentation exists, so finer
+    # pipelining pays — use smaller chunks so the first device dispatch
+    # starts earlier. (mss <= 4 declares no sub-picture bound: the
+    # formula only drops below PicSize/2 past idc 4.)
     chunk = 16
-    if mss:
-        seg = (4 * sps.pic_width_in_luma_samples
-               * sps.pic_height_in_luma_samples) // (mss + 4)
-        tile_px = (sps.pic_width_in_luma_samples
-                   * sps.pic_height_in_luma_samples)
-        if seg < tile_px:
+    if mss > 4:
+        pic_px = (sps.pic_width_in_luma_samples
+                  * sps.pic_height_in_luma_samples)
+        seg = 4 * pic_px // (mss + 4)
+        if seg <= pic_px // 2:
             chunk = 8
     return {
         "chunk": chunk,

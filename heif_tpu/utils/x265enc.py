@@ -149,6 +149,25 @@ def available(bit_depth: int = 8) -> bool:
         return False
 
 
+def _cache_dir() -> "str | None":
+    import os
+
+    if os.environ.get("HEIF_TPU_NO_X265_CACHE"):
+        return None
+    d = os.environ.get(
+        "HEIF_TPU_X265_CACHE",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            "tests", "assets", ".x265cache",
+        ),
+    )
+    try:
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return None
+
+
 def encode_i_frame(
     y: np.ndarray,
     cb: np.ndarray | None,
@@ -166,8 +185,42 @@ def encode_i_frame(
     csp: "i420" (default) or "i400" (monochrome; cb/cr may be None —
     emits chroma_format_idc=0 streams like the flagship file's
     auxiliary alpha item).
+
+    Encoded streams are cached on disk keyed by (planes, settings,
+    encoder version): the fixture matrix re-encodes identical content
+    every test process, and the encodes dominated the fast tier's wall
+    time (round-4 weak #6). Delete tests/assets/.x265cache (or set
+    HEIF_TPU_NO_X265_CACHE=1) to force fresh encodes.
     """
     api = _get_api(bit_depth)
+
+    import hashlib
+    import os
+
+    cdir = _cache_dir()
+    cpath = None
+    if cdir is not None:
+        hsh = hashlib.sha256()
+        ver = bytes(api.version_str or b"?")
+        hsh.update(
+            repr(
+                (
+                    ver, qp, bit_depth, csp,
+                    sorted((options or {}).items()),
+                    y.shape, None if cb is None else cb.shape,
+                )
+            ).encode()
+        )
+        hsh.update(np.ascontiguousarray(y).tobytes())
+        if cb is not None and csp != "i400":
+            hsh.update(np.ascontiguousarray(cb).tobytes())
+            hsh.update(np.ascontiguousarray(cr).tobytes())
+        cpath = os.path.join(cdir, hsh.hexdigest() + ".hevc")
+        try:
+            with open(cpath, "rb") as f:
+                return f.read()
+        except OSError:
+            pass
     h, w = y.shape
     mono = csp == "i400"
     dt = np.uint8 if bit_depth == 8 else np.uint16
@@ -286,6 +339,15 @@ def encode_i_frame(
             # handle instead of calling through an unverified pointer —
             # fixture generation is a short-lived test process.
             pass
-        return bytes(out)
+        stream = bytes(out)
+        if cpath is not None:
+            try:  # atomic publish: concurrent test processes may race
+                tmp = cpath + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(stream)
+                os.replace(tmp, cpath)
+            except OSError:
+                pass
+        return stream
     finally:
         api.param_free(param)
