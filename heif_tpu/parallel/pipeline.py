@@ -478,9 +478,13 @@ def decode_grid_sharded_streamed(
                 syn, sps, pps, sl_chunk, n_tiles_pad=n_pad,
                 n_steps=n_steps, class_maxc=maxc,
             )
-            arrays = {k2: jnp.asarray(v) for k2, v in arrays.items()}
+            arrays = _put_sharded(arrays, mesh)
+            # multi-process: every process holds the full (replicated)
+            # inputs and reads the full outputs, so the planes must come
+            # back all_gathered — a tile-sharded global array is not
+            # host-readable from any single process
             y, cb, cr = reconstruct_sharded(
-                arrays, static, mesh, gather=False
+                arrays, static, mesh, gather=_is_multiprocess()
             )
             outs.append((y, cb, cr, len(syn)))
     finally:
@@ -493,6 +497,23 @@ def decode_grid_sharded_streamed(
     ]
 
 
+def _is_multiprocess() -> bool:
+    try:
+        return jax.process_count() > 1
+    except Exception:
+        return False
+
+
+def _put_sharded(arrays: dict, mesh: Mesh) -> dict:
+    """Place packed host arrays tile-sharded over the (possibly
+    multi-process global) mesh. Every process passes the identical full
+    array; device_put lays down only the shards addressable locally, so
+    this is the DCN bitstream-scatter step of SURVEY.md §2.3 on a
+    multi-host mesh and a plain H2D on one host."""
+    sh = NamedSharding(mesh, PS("tiles"))
+    return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+
+
 def decode_grid_sharded(syntaxes, sps, pps, slices, mesh: Mesh | None = None):
     """Full sharded decode of a tile batch; returns [Y, Cb, Cr] stacks."""
     mesh = mesh or make_mesh()
@@ -500,9 +521,12 @@ def decode_grid_sharded(syntaxes, sps, pps, slices, mesh: Mesh | None = None):
     n = len(syntaxes)
     n_pad = -(-n // d) * d
     arrays, static = pack_uniform(syntaxes, sps, pps, slices, n_tiles_pad=n_pad)
-    arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
-    # tile-sharded outputs (gather=False): the stitch happens on host, so
-    # reading the sharded stacks directly avoids a redundant all_gather
-    # and keeps the varying-axis checker enabled
-    y, cb, cr = reconstruct_sharded(arrays, static, mesh, gather=False)
+    arrays = _put_sharded(arrays, mesh)
+    # tile-sharded outputs (gather=False) on one host: the stitch happens
+    # on host, so reading the sharded stacks directly avoids a redundant
+    # all_gather and keeps the varying-axis checker enabled. Multi-process
+    # outputs must gather (see decode_grid_sharded_streamed).
+    y, cb, cr = reconstruct_sharded(
+        arrays, static, mesh, gather=_is_multiprocess()
+    )
     return [np.asarray(y)[:n], np.asarray(cb)[:n], np.asarray(cr)[:n]]

@@ -211,6 +211,11 @@ def encode_i_frame(
                 )
             ).encode()
         )
+        # file-valued options (scaling-list) key on content, not path
+        slist = (options or {}).get("scaling-list")
+        if slist and os.path.isfile(slist):
+            with open(slist, "rb") as f:
+                hsh.update(f.read())
         hsh.update(np.ascontiguousarray(y).tobytes())
         if cb is not None and csp != "i400":
             hsh.update(np.ascontiguousarray(cb).tobytes())
