@@ -272,17 +272,35 @@ class HeicDecoder:
         if stats is not None:
             stats.scheduler = hints
 
-        # tiles-enabled pictures (intra-picture tile partitioning, rare in
-        # HEIF) decode through the Python twin + numpy reconstruction:
-        # the native engine and the device intra path are not
-        # tile-availability-aware yet. The downgrade is recorded in
-        # DecodeStats and logged so perf triage never needs a debugger.
+        # tiles-enabled pictures (intra-picture tile partitioning, rare
+        # in HEIF) decode on the fast path (native tile-scan entropy +
+        # tile-aware device intra/deblock) EXCEPT two combinations that
+        # only the host reference path implements: SAO with
+        # loop_filter_across_tiles_enabled_flag=0 (tile-clamped SAO), and
+        # the mesh-sharded pipeline (host packer is not tile-aware). Any
+        # downgrade is recorded in DecodeStats and logged so perf triage
+        # never needs a debugger.
+        reason = None
         if pps.tiles_enabled_flag and backend == "jax":
-            backend = "ref"
-            reason = (
-                "tiles_enabled_flag=1: jax backend downgraded to ref "
-                "(tile-aware entropy/recon run on the host reference path)"
+            sh0 = next((s.header for s in slices if s is not None), None)
+            sao_on = sh0 is not None and (
+                sh0.slice_sao_luma_flag or sh0.slice_sao_chroma_flag
             )
+            if (
+                not pps.loop_filter_across_tiles_enabled_flag and sao_on
+            ):
+                reason = (
+                    "tiles with loop_filter_across_tiles=0 + SAO: jax "
+                    "backend downgraded to ref (tile-clamped SAO is "
+                    "host-only)"
+                )
+            elif mesh_devices:
+                reason = (
+                    "tiles on a sharded mesh: downgraded to ref (the "
+                    "uniform host packer is not tile-aware)"
+                )
+        if reason is not None:
+            backend = "ref"
             if stats is not None:
                 stats.scheduler = dict(stats.scheduler or {})
                 stats.scheduler["backend_downgrade"] = reason
@@ -294,7 +312,7 @@ class HeicDecoder:
             stats.scheduler["effective_backend"] = backend
 
         def entropy(parsed):
-            if native.available() and not pps.tiles_enabled_flag:
+            if native.available():
                 return native.decode_tiles_parallel(
                     sps, pps, parsed,
                     max_workers=hints.get("entropy_workers"),
@@ -412,15 +430,18 @@ class HeicDecoder:
 
         from heif_tpu import native
 
-        if pps.tiles_enabled_flag:
-            # tile-partitioned pictures decode via the Python twin and
-            # numpy reconstruction (tile-aware availability)
-            st = TileSyntaxDecoder(sps, pps, ps).decode()
-            backend = "ref"
-        elif native.available():
-            # the native twin handles 8/10-bit and 4:0:0/4:2:0 (QP wrap
-            # and chroma-QP tables are QpBdOffset-parametrized; verified
-            # bit-exact vs the Python twin by the Main-10 fixture tests)
+        if pps.tiles_enabled_flag and backend == "jax":
+            # one host-only corner: tile-clamped SAO (across=0 + SAO)
+            if not pps.loop_filter_across_tiles_enabled_flag and (
+                ps.header.slice_sao_luma_flag
+                or ps.header.slice_sao_chroma_flag
+            ):
+                backend = "ref"
+        if native.available():
+            # the native twin handles 8/10-bit, 4:0:0/4:2:0, and
+            # tiles_enabled_flag=1 (tile-scan CTU order + §6.4.1
+            # availability; verified bit-exact vs the Python twin by the
+            # tiled fixture tests)
             st = native.decode_tile_native(sps, pps, ps)
         else:
             st = TileSyntaxDecoder(sps, pps, ps).decode()

@@ -91,11 +91,24 @@ def _load():
             ctypes.POINTER(_TileParams),
             ctypes.POINTER(_TileOutput),
         ]
-        if lib.heif_entropy_abi_version() != 3:
+        if lib.heif_entropy_abi_version() != 4:
             # stale binary from an older tree: rebuild in place
             build(force=True)
             lib = ctypes.CDLL(_LIB_PATH)
-            assert lib.heif_entropy_abi_version() == 3
+            assert lib.heif_entropy_abi_version() == 4
+        lib.heif_entropy_decode_tile_tiled.restype = ctypes.c_int
+        lib.heif_entropy_decode_tile_tiled.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(_TileParams),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(_TileOutput),
+        ]
         lib.heif_pack_counts.restype = ctypes.c_int
         lib.heif_pack_counts.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
@@ -210,11 +223,9 @@ def decode_tile_native(
     parsed: ParsedSlice,
 ) -> T.SyntaxTensors:
     """Native equivalent of TileSyntaxDecoder(...).decode()."""
-    if pps.tiles_enabled_flag:
-        # same guard as TileSyntaxDecoder: the raster CTU loop would
-        # silently desync on tile-segmented substreams
+    if pps.tiles_enabled_flag and pps.entropy_coding_sync_enabled_flag:
         raise NotImplementedError(
-            "tiles_enabled_flag=1 bitstreams are not supported"
+            "tiles + WPP in one PPS is not supported"
         )
     lib = _load()
     W = sps.pic_width_in_luma_samples
@@ -284,14 +295,31 @@ def decode_tile_native(
     rbsp = (
         parsed.rbsp if isinstance(parsed.rbsp, bytes) else bytes(parsed.rbsp)
     )
-    rc = lib.heif_entropy_decode_tile(
-        rbsp,
-        len(rbsp),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(ranges),
-        ctypes.byref(params),
-        ctypes.byref(out),
-    )
+    if pps.tiles_enabled_flag:
+        col_bd, row_bd = pps.tile_bounds(sps)
+        col_arr = np.asarray(col_bd, dtype=np.int32)
+        row_arr = np.asarray(row_bd, dtype=np.int32)
+        rc = lib.heif_entropy_decode_tile_tiled(
+            rbsp,
+            len(rbsp),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(ranges),
+            ctypes.byref(params),
+            col_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(col_bd) - 1,
+            row_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(row_bd) - 1,
+            ctypes.byref(out),
+        )
+    else:
+        rc = lib.heif_entropy_decode_tile(
+            rbsp,
+            len(rbsp),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(ranges),
+            ctypes.byref(params),
+            ctypes.byref(out),
+        )
     if rc == 2:
         raise NotImplementedError(
             f"chroma_format_idc={sps.chroma_format_idc} not supported "

@@ -468,6 +468,15 @@ struct Decoder {
   const int32_t* sub_off;  // [n_sub*2] byte ranges
   int n_sub;
 
+  // tiles (§6.5.1): CTB boundaries of tile columns/rows; n_tcols == 0
+  // means tiles_enabled_flag=0 (plain raster scan). Mirrors the Python
+  // twin (cabac/syntax.py) which is the spec reference for this path.
+  const int32_t* tile_col_bd = nullptr;  // [n_tcols+1]
+  const int32_t* tile_row_bd = nullptr;  // [n_trows+1]
+  int n_tcols = 0, n_trows = 0;
+  std::vector<int16_t> ctb_tid;    // per-CTB tile id (raster indexed)
+  std::vector<int32_t> scan_addr;  // tile-scan order -> raster CTB addr
+
   int W, H, ctb, ctb_log2, ctbs_x, ctbs_y, g4w, g4h;
   int log2_min_qg;
   int qp_bd_y, qp_bd_c;  // QpBdOffsetY/C = 6*(bit_depth-8), §7.4.3.2.1
@@ -523,6 +532,34 @@ struct Decoder {
     // default intra modes = DC (1)
     memset(O->intra_mode_y, 1, (size_t)g4h * g4w);
     memset(O->intra_mode_c, 1, (size_t)g4h * g4w);
+    ctb_tid.clear();
+    scan_addr.clear();
+    if (n_tcols > 0) {
+      ctb_tid.resize((size_t)ctbs_x * ctbs_y);
+      for (int y = 0; y < ctbs_y; y++) {
+        int tr = 0;
+        while (tr + 1 < n_trows && y >= tile_row_bd[tr + 1]) tr++;
+        for (int x = 0; x < ctbs_x; x++) {
+          int tc = 0;
+          while (tc + 1 < n_tcols && x >= tile_col_bd[tc + 1]) tc++;
+          ctb_tid[(size_t)y * ctbs_x + x] = (int16_t)(tr * n_tcols + tc);
+        }
+      }
+      scan_addr.reserve((size_t)ctbs_x * ctbs_y);
+      for (int tr = 0; tr < n_trows; tr++)
+        for (int tc = 0; tc < n_tcols; tc++)
+          for (int y = tile_row_bd[tr]; y < tile_row_bd[tr + 1]; y++)
+            for (int x = tile_col_bd[tc]; x < tile_col_bd[tc + 1]; x++)
+              scan_addr.push_back(y * ctbs_x + x);
+    }
+  }
+
+  // §6.4.1 availability: luma positions in different tiles are mutually
+  // unavailable for prediction and context derivation
+  inline bool same_tile(int x0, int y0, int x1, int y1) const {
+    if (ctb_tid.empty()) return true;
+    return ctb_tid[(size_t)(y0 >> ctb_log2) * ctbs_x + (x0 >> ctb_log2)] ==
+           ctb_tid[(size_t)(y1 >> ctb_log2) * ctbs_x + (x1 >> ctb_log2)];
   }
 
   // ---- maps ----
@@ -543,14 +580,32 @@ struct Decoder {
     if (P->chroma_format != 0 && P->chroma_format != 1) return 2;
     init();
     int n_ctb = ctbs_x * ctbs_y;
+    bool tiles = n_tcols > 0;
+    if (tiles && P->wpp) return 1;  // tiles+WPP unsupported (loud)
+    if (tiles && n_sub < n_tcols * n_trows) return 1;
     eng.data = rbsp;
     eng.seek((int64_t)sub_off[0] * 8, (int64_t)sub_off[1] * 8);
     if (!eng.start()) return 1;
     eng.init_contexts(P->slice_qp);
+    int cur_tile = 0;
     for (int addr = 0; addr < n_ctb; addr++) {
-      int x = addr % ctbs_x;
-      int y = addr / ctbs_x;
-      if (P->wpp && x == 0 && y > 0) {
+      int raddr = tiles ? scan_addr[addr] : addr;
+      int x = raddr % ctbs_x;
+      int y = raddr / ctbs_x;
+      if (tiles) {
+        int t = ctb_tid[raddr];
+        if (t != cur_tile) {
+          // new tile: jump to its substream, spec re-init contexts (no
+          // inheritance across tiles, §9.3.1), reset qPY_PREV, close QG
+          cur_tile = t;
+          eng.seek((int64_t)sub_off[2 * t] * 8,
+                   (int64_t)sub_off[2 * t + 1] * 8);
+          if (!eng.start()) return 1;
+          eng.init_contexts(P->slice_qp);
+          finalize_qg();
+          last_cu_qp = P->slice_qp;
+        }
+      } else if (P->wpp && x == 0 && y > 0) {
         eng.seek((int64_t)sub_off[2 * y] * 8, (int64_t)sub_off[2 * y + 1] * 8);
         if (!eng.start()) return 1;
         if (ctbs_x > 1 && have_snap) {
@@ -563,15 +618,19 @@ struct Decoder {
       }
       decode_ctu(x, y);
       if (error) return 1;
-      if (P->wpp && x == 1) {
+      if (!tiles && P->wpp && x == 1) {
         memcpy(snap_state, eng.state, N_CTX);
         have_snap = true;
       }
       int end_flag = eng.decode_terminate();
       bool last = addr == n_ctb - 1;
       if (end_flag != (last ? 1 : 0)) return 1;
-      if (!last && P->wpp && x == ctbs_x - 1) {
-        if (eng.decode_terminate() != 1) return 1;
+      if (!last) {
+        // end_of_subset_one_bit + byte alignment at tile / WPP-row ends
+        bool at_subset_end =
+            (tiles && ctb_tid[scan_addr[addr + 1]] != cur_tile) ||
+            (!tiles && P->wpp && x == ctbs_x - 1);
+        if (at_subset_end && eng.decode_terminate() != 1) return 1;
       }
     }
     finalize_qg();
@@ -618,8 +677,13 @@ struct Decoder {
   void decode_sao(int rx, int ry) {
     int16_t* sp = O->sao + ((ry * ctbs_x + rx) * 3) * 6;
     int merge_left = 0, merge_up = 0;
-    if (rx > 0) merge_left = eng.decode_bin(CTX_SAO_MERGE);
-    if (!merge_left && ry > 0) merge_up = eng.decode_bin(CTX_SAO_MERGE);
+    // merge candidates must lie in the same tile (§7.3.8.3
+    // leftCtbInTile / upCtbInTile)
+    int lx = rx << ctb_log2, ly = ry << ctb_log2;
+    if (rx > 0 && same_tile(lx - 1, ly, lx, ly))
+      merge_left = eng.decode_bin(CTX_SAO_MERGE);
+    if (!merge_left && ry > 0 && same_tile(lx, ly - 1, lx, ly))
+      merge_up = eng.decode_bin(CTX_SAO_MERGE);
     if (merge_left) {
       memcpy(sp, O->sao + ((ry * ctbs_x + rx - 1) * 3) * 6, 3 * 6 * sizeof(int16_t));
       return;
@@ -684,10 +748,16 @@ struct Decoder {
     bool bottom_in = y0 + (1 << log2_size) <= H;
     int split;
     if (right_in && bottom_in && log2_size > P->min_cb_log2) {
+      // split_cu_flag ctx from neighbor depths (§9.3.4.2.2; availability
+      // per §6.4.1 excludes other tiles)
       int inc = 0;
       int g4x = x0 >> 2, g4y = y0 >> 2;
-      if (x0 > 0 && ctd(g4x - 1, g4y) > depth) inc++;
-      if (y0 > 0 && ctd(g4x, g4y - 1) > depth) inc++;
+      if (x0 > 0 && same_tile(x0 - 1, y0, x0, y0) &&
+          ctd(g4x - 1, g4y) > depth)
+        inc++;
+      if (y0 > 0 && same_tile(x0, y0 - 1, x0, y0) &&
+          ctd(g4x, g4y - 1) > depth)
+        inc++;
       split = eng.decode_bin(CTX_SPLIT_CU + inc);
     } else {
       split = log2_size > P->min_cb_log2 ? 1 : 0;
@@ -709,16 +779,17 @@ struct Decoder {
   }
 
   // ---- intra mode derivation ----
-  int neighbor_luma_mode(int x, int y, int cur_y) {
+  int neighbor_luma_mode(int x, int y, int cur_x, int cur_y) {
     if (x < 0 || y < 0) return 1;
     if (y < ((cur_y >> ctb_log2) << ctb_log2)) return 1;
+    if (!same_tile(x, y, cur_x, cur_y)) return 1;  // §6.4.1
     if (pcmm(x >> 2, y >> 2)) return 1;
     return im_y(x >> 2, y >> 2);
   }
 
   int derive_intra_mode(int px, int py, int mpm_idx, int rem) {
-    int a = neighbor_luma_mode(px - 1, py, py);
-    int b = neighbor_luma_mode(px, py - 1, py);
+    int a = neighbor_luma_mode(px - 1, py, px, py);
+    int b = neighbor_luma_mode(px, py - 1, px, py);
     int cands[3];
     if (a == b) {
       if (a < 2) {
@@ -1213,6 +1284,29 @@ int heif_entropy_decode_tile(const uint8_t* rbsp, int32_t /*rbsp_len*/,
   return d.decode();
 }
 
+// tiles_enabled_flag=1 variant: tile_col_bd/[n_tile_cols+1] and
+// tile_row_bd/[n_tile_rows+1] are the CTB boundaries of §6.5.1 (PPS
+// tile geometry); substream i is tile i's byte range. Same returns.
+int heif_entropy_decode_tile_tiled(
+    const uint8_t* rbsp, int32_t /*rbsp_len*/,
+    const int32_t* substream_offsets, int32_t n_substreams,
+    const TileParams* params, const int32_t* tile_col_bd,
+    int32_t n_tile_cols, const int32_t* tile_row_bd, int32_t n_tile_rows,
+    TileOutput* out) {
+  Decoder d;
+  d.P = params;
+  d.O = out;
+  d.rbsp = rbsp;
+  d.sub_off = substream_offsets;
+  d.n_sub = n_substreams;
+  d.tile_col_bd = tile_col_bd;
+  d.tile_row_bd = tile_row_bd;
+  d.n_tcols = n_tile_cols;
+  d.n_trows = n_tile_rows;
+  *out->tu_count = 0;
+  return d.decode();
+}
+
 // ---------------------------------------------------------------------------
 // Native per-tile packing: tu_table + coeff planes -> device-ready class
 // blocks and scan-field arrays (the host pack is on the decode critical
@@ -1307,6 +1401,6 @@ int heif_pack_tile(const int32_t* tu, int32_t n_tu,
   return 0;
 }
 
-int heif_entropy_abi_version() { return 3; }
+int heif_entropy_abi_version() { return 4; }
 
 }  // extern "C"

@@ -73,6 +73,10 @@ class BatchPlan:
     strong_smoothing: bool
     bit_depth_y: int = 8
     bit_depth_c: int = 8
+    # interior tile boundaries in luma pixels (§6.5.1), () = no tiles;
+    # drives §6.4.1 availability in the device intra path
+    tile_col_bd: tuple = ()
+    tile_row_bd: tuple = ()
 
 
 def _scaling_for_sps(sps):
@@ -370,6 +374,27 @@ def _finish_plan(
     if sps.pcm_enabled_flag and sps.pcm_loop_filter_disabled_flag:
         nf_map |= np.stack([st.pcm_map for st in syntaxes])
 
+    # ---- tiles: §6.4.1 availability bounds + boundary deblock ----
+    tile_col_bd: tuple = ()
+    tile_row_bd: tuple = ()
+    vert_edges = np.stack([st.vert_edges for st in syntaxes])
+    horiz_edges = np.stack([st.horiz_edges for st in syntaxes])
+    if pps.tiles_enabled_flag:
+        col_bd, row_bd = pps.tile_bounds(sps)
+        cl = sps.ctb_log2_size_y
+        tile_col_bd = tuple(b << cl for b in col_bd[1:-1])
+        tile_row_bd = tuple(b << cl for b in row_bd[1:-1])
+        if not pps.loop_filter_across_tiles_enabled_flag:
+            # suppress deblocking of edges ON interior tile boundaries
+            # (edge maps are on the 4-sample grid), mirroring
+            # ref_recon.reconstruct_tile
+            vert_edges = vert_edges.copy()
+            horiz_edges = horiz_edges.copy()
+            for b in tile_col_bd:
+                vert_edges[:, :, b >> 2] = False
+            for b in tile_row_bd:
+                horiz_edges[:, b >> 2, :] = False
+
     sh = slices[0].header
     return BatchPlan(
         n=n,
@@ -387,8 +412,8 @@ def _finish_plan(
         pcm=pcm,
         qp_map=np.stack([st.qp_y for st in syntaxes]).astype(np.int32),
         nf_map=nf_map,
-        vert_edges=np.stack([st.vert_edges for st in syntaxes]),
-        horiz_edges=np.stack([st.horiz_edges for st in syntaxes]),
+        vert_edges=vert_edges,
+        horiz_edges=horiz_edges,
         sao=np.stack([st.sao for st in syntaxes]).astype(np.int32),
         ctb_log2=sps.ctb_log2_size_y,
         deblock_disabled=sh.slice_deblocking_filter_disabled_flag,
@@ -401,6 +426,8 @@ def _finish_plan(
         strong_smoothing=bool(sps.strong_intra_smoothing_enabled_flag),
         bit_depth_y=sps.bit_depth_y,
         bit_depth_c=sps.bit_depth_c,
+        tile_col_bd=tile_col_bd,
+        tile_row_bd=tile_row_bd,
     )
 
 
@@ -433,7 +460,7 @@ def _core(
     *,
     n, H, W, ctb_log2, deblock_disabled, sao_luma, sao_chroma,
     beta_off, tc_off, cb_qp_off, cr_qp_off, strong_smoothing, use_pallas,
-    bd_y=8, bd_c=8,
+    bd_y=8, bd_c=8, tile_col_bd=(), tile_row_bd=(),
 ):
     Hc, Wc = H // 2, W // 2
     dims = [(H, W), (Hc, Wc), (Hc, Wc)]
@@ -483,6 +510,7 @@ def _core(
         J.ref_sources_device(
             xs[c][0], xs[c][1], xs[c][2],
             comp=c, W=W, H=H, ctb_log2=ctb_log2,
+            tile_col_bd=tile_col_bd, tile_row_bd=tile_row_bd,
         )
         for c in range(2)
     ]
@@ -637,7 +665,7 @@ _core_jit = jax.jit(
     static_argnames=(
         "n", "H", "W", "ctb_log2", "deblock_disabled", "sao_luma", "sao_chroma",
         "beta_off", "tc_off", "cb_qp_off", "cr_qp_off", "strong_smoothing",
-        "use_pallas", "bd_y", "bd_c",
+        "use_pallas", "bd_y", "bd_c", "tile_col_bd", "tile_row_bd",
     ),
 )
 
@@ -955,7 +983,8 @@ def _bundle_plan(bp: BatchPlan):
     if any(p is not None for p in bp.pcm):
         pcm_blob = np.concatenate([p.reshape(-1) for p in bp.pcm])
     layout = (cls_layout, ns, bp.qp_map.shape, bp.sao.shape, skeys,
-              pcm_blob is not None, coeff_mode, pack_qporg)
+              pcm_blob is not None, coeff_mode, pack_qporg,
+              bp.tile_col_bd, bp.tile_row_bd)
     return (b16, b32, b8, pcm_blob, layout)
 
 
@@ -966,7 +995,7 @@ def _core_blobs(
 ):
     """Unbundle the three plan blobs (static offsets) and run _core."""
     (cls_layout, ns, qp_shape, sao_shape, skeys, has_pcm, coeff_mode,
-     pack_qporg) = layout
+     pack_qporg, tile_col_bd, tile_row_bd) = layout
     Hc, Wc = H // 2, W // 2
     o16 = o32 = o8 = 0
 
@@ -1109,6 +1138,7 @@ def _core_blobs(
         cb_qp_off=cb_qp_off, cr_qp_off=cr_qp_off,
         strong_smoothing=strong_smoothing, use_pallas=use_pallas,
         bd_y=bd_y, bd_c=bd_c,
+        tile_col_bd=tile_col_bd, tile_row_bd=tile_row_bd,
     )
 
 
@@ -1591,5 +1621,6 @@ def reconstruct_batch(bp: BatchPlan) -> list:
         strong_smoothing=bp.strong_smoothing,
         use_pallas=_pallas_ok(bp),
         bd_y=bp.bit_depth_y, bd_c=bp.bit_depth_c,
+        tile_col_bd=bp.tile_col_bd, tile_row_bd=bp.tile_row_bd,
     )
     return [np.asarray(p) for p in planes]

@@ -263,13 +263,17 @@ def _z_addr(g4y, g4x, cl: int, ctbs_x: int):
 
 
 def ref_sources_device(x, y, size, *, comp: int, W: int, H: int,
-                       ctb_log2: int):
+                       ctb_log2: int, tile_col_bd: tuple = (),
+                       tile_row_bd: tuple = ()):
     """Device twin of pack._ref_sources_batch for mixed TU sizes.
 
     x/y/size: int32 arrays of any matching shape [...] (component coords;
-    size == 0 marks padding steps). Returns uint8 [..., 2, REF_LEN] local
-    reference-vector indices, 255 = unavailable — bit-identical to the
-    host packer (cross-checked in tests/test_jax_recon.py).
+    size == 0 marks padding steps). tile_col_bd/tile_row_bd: INTERIOR
+    tile boundaries in luma pixels (§6.5.1), empty when tiles are off —
+    a neighbor across a tile boundary is unavailable (§6.4.1).
+    Returns uint8 [..., 2, REF_LEN] local reference-vector indices,
+    255 = unavailable — bit-identical to the host packer (cross-checked
+    in tests/test_jax_recon.py).
     """
     sub = 1 if comp == 0 else 2
     cl = ctb_log2 - 2
@@ -290,6 +294,22 @@ def ref_sources_device(x, y, size, *, comp: int, W: int, H: int,
         jnp.clip(ly, 0, H - 1) >> 2, jnp.clip(lx, 0, W - 1) >> 2, cl, ctbs_x
     )
     avail = inb & (zn < z_cur) & (walk <= 2 * s2)
+    if tile_col_bd or tile_row_bd:
+        # tile id via counted interior boundaries; neighbors must share
+        # both the tile column and the tile row of the current TU
+        cur_lx = (x * sub)[..., None]
+        cur_ly = (y * sub)[..., None]
+
+        def _tidx(v, bounds):
+            t = jnp.zeros(v.shape, jnp.int32)
+            for b in bounds:
+                t = t + (v >= b).astype(jnp.int32)
+            return t
+
+        same = (_tidx(lx, tile_col_bd) == _tidx(cur_lx, tile_col_bd)) & (
+            _tidx(ly, tile_row_bd) == _tidx(cur_ly, tile_row_bd)
+        )
+        avail = avail & same
 
     any_avail = avail.any(-1)
     first_avail = jnp.argmax(avail, axis=-1).astype(jnp.int32)

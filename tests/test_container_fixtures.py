@@ -185,22 +185,32 @@ def test_nonsquare_jax_backend():
 
 
 def test_backend_downgrade_recorded():
-    """A caller requesting backend="jax" for a tiles_enabled_flag=1
-    picture gets the (correct, slower) ref path — and the downgrade is
-    recorded in DecodeStats.scheduler instead of happening silently
-    (round-4 weak #5)."""
+    """Tiles pictures now ride the fast path (native tile-scan entropy +
+    tile-aware jax recon, round-4 missing #3); the one remaining
+    tiles downgrade (sharded mesh) is recorded in DecodeStats.scheduler
+    instead of happening silently (round-4 weak #5)."""
     from heif_tpu.utils import hevc_synth
     from heif_tpu.utils.profiling import DecodeStats
 
     stream = hevc_synth.synthesize_tiled_intra_stream(96, 64, (2, 2), seed=3)
     heic = mux_heic([stream])
+    ref = oracle.decode_heic_via_de265(heic)
+
+    # fast path: no downgrade, bit-exact through the jax backend
     stats = DecodeStats()
     out = HeicDecoder.decode(heic, backend="jax", stats=stats)
-    assert stats.scheduler.get("effective_backend") == "ref"
-    assert "tiles_enabled_flag" in stats.scheduler.get(
-        "backend_downgrade", ""
+    assert stats.scheduler.get("effective_backend") == "jax"
+    assert "backend_downgrade" not in stats.scheduler
+    assert np.array_equal(out["Y"], ref["Y"])
+    assert np.array_equal(out["Cb"], ref["Cb"])
+
+    # tiles + sharded mesh: recorded downgrade, still bit-exact
+    stats = DecodeStats()
+    out = HeicDecoder.decode(
+        heic, backend="jax", mesh_devices=2, stats=stats
     )
-    ref = oracle.decode_heic_via_de265(heic)
+    assert stats.scheduler.get("effective_backend") == "ref"
+    assert "mesh" in stats.scheduler.get("backend_downgrade", "")
     assert np.array_equal(out["Y"], ref["Y"])
 
     # non-tiled decode records the effective backend with no downgrade

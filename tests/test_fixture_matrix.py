@@ -238,10 +238,13 @@ class TestPcmFixtures:
             w, h, tiles, seed=seed
         )
         want = oracle.decode_hevc_annexb(stream)
-        got = HeicDecoder.decode_hevc(stream)
-        assert np.array_equal(got["Y"], want[0])
-        assert np.array_equal(got["Cb"], want[1])
-        assert np.array_equal(got["Cr"], want[2])
+        # host reference backend AND the fast path (native tile-scan
+        # entropy + tile-aware jax recon, round-4 missing #3)
+        for backend in ("ref", "jax"):
+            got = HeicDecoder.decode_hevc(stream, backend=backend)
+            assert np.array_equal(got["Y"], want[0]), backend
+            assert np.array_equal(got["Cb"], want[1]), backend
+            assert np.array_equal(got["Cr"], want[2]), backend
 
     def test_tiles_availability_negative_control(self):
         """The tiles fixture must FAIL if tile-boundary availability is
@@ -268,6 +271,34 @@ class TestPcmFixtures:
             got = HeicDecoder.decode_hevc(stream)
         finally:
             ref_recon.IntraPredictor._available = orig
+        assert not np.array_equal(got["Y"], want[0])
+
+    def test_tiles_availability_negative_control_jax(self, monkeypatch):
+        """The DEVICE intra path must also fail if tile-boundary
+        availability is ignored — guards ref_sources_device's tile
+        exclusion being load-bearing (not just the ref path's)."""
+        import jax
+
+        from heif_tpu.ops import jax_recon as J
+        from heif_tpu.utils import hevc_synth
+
+        stream = hevc_synth.synthesize_tiled_intra_stream(
+            96, 64, (2, 2), seed=0
+        )
+        want = oracle.decode_hevc_annexb(stream)
+        orig = J.ref_sources_device
+
+        def tile_blind(*a, **k):
+            k["tile_col_bd"] = ()
+            k["tile_row_bd"] = ()
+            return orig(*a, **k)
+
+        monkeypatch.setattr(J, "ref_sources_device", tile_blind)
+        jax.clear_caches()  # the tile bounds are jit statics; drop the
+        try:                # cached correct executable so the patch bites
+            got = HeicDecoder.decode_hevc(stream, backend="jax")
+        finally:
+            jax.clear_caches()
         assert not np.array_equal(got["Y"], want[0])
 
     def test_cra_bit_exact(self):

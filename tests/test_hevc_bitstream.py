@@ -281,10 +281,18 @@ class TestTilesGuard:
         from heif_tpu import native
 
         if native.available():
+            # the native engine now decodes tiles (tile-scan order +
+            # §6.4.1 availability; bit-exact vs the Python twin, see
+            # test_fixture_matrix tiles cases) — but the tiles+WPP
+            # combination stays a loud NotImplementedError there too
+            with pytest.raises(NotImplementedError, match="tiles"):
+                native.decode_tile_native(sps, pps_both, ps)
+            # and a tiles PPS lying about a non-tiled stream must fail
+            # loudly (desync detection), never return garbage
             pps_tiled = dataclasses.replace(
                 pps_both, entropy_coding_sync_enabled_flag=False
             )
-            with pytest.raises(NotImplementedError, match="tiles_enabled"):
+            with pytest.raises(ValueError, match="desync"):
                 native.decode_tile_native(sps, pps_tiled, ps)
 
 
