@@ -56,8 +56,12 @@ def _kick_d2h_channel():
 
     The first D2H in a process pays a one-time channel initialization on
     the tunneled runtime that has been observed to take minutes under
-    load; paying it on 8 bytes in a daemon thread, concurrent with the
-    warmup compile, keeps it off the measured path.
+    load. It ALSO permanently switches the proxy client into a mode
+    where every subsequent device operation runs ~3x slower (measured:
+    decode-to-device 0.25s before any D2H, 0.7s after an 8-BYTE fetch).
+    So this kick runs at the START OF THE READBACK PHASE only — after
+    the no-readback device/burst/paired metrics are fully captured in a
+    clean process — paying the channel init off the first e2e rep.
     """
     try:
         import jax
@@ -70,18 +74,13 @@ def _kick_d2h_channel():
 
 
 def main():
-    import threading
-
     import numpy as np
-
-    kicker = threading.Thread(target=_kick_d2h_channel, daemon=True)
-    kicker.start()
 
     from heif_tpu.container.reader import HeifReader, parse_grid_config
     from heif_tpu.hevc import params
     from heif_tpu.hevc import slice as sl
     from heif_tpu.hevc.rbsp import remove_emulation_prevention
-    from heif_tpu.ops.batch import decode_reconstruct_overlapped
+    from heif_tpu.ops.batch import decode_burst, decode_reconstruct_overlapped
     from heif_tpu.utils.profiling import DecodeStats
 
     data = open("tests/assets/halfmoonbay.heic", "rb").read()
@@ -101,18 +100,20 @@ def main():
         tile_ids = heif.item_ids_referencing(primary, "dimg")
         return r, sps, pps, grid, tile_ids
 
+    def slices_of(r, sps, pps, tile_ids):
+        return [
+            sl.parse_slice_header(
+                sl.split_length_prefixed_nals(r.get_item_data(t), 4)[0],
+                sps, pps,
+            )
+            for t in tile_ids
+        ]
+
     def decode_once():
         stats = DecodeStats()
         r, sps, pps, grid, tile_ids = parse()
         with stats.stage("hdr"):
-            slices = [
-                sl.parse_slice_header(
-                    sl.split_length_prefixed_nals(r.get_item_data(t), 4)[0],
-                    sps, pps,
-                )
-                for t in tile_ids
-            ]
-        # host entropy (C++ CABAC) overlaps device reconstruction per chunk
+            slices = slices_of(r, sps, pps, tile_ids)
         with stats.stage("recon"):
             planes = decode_reconstruct_overlapped(
                 sps, pps, slices, stats=stats
@@ -135,13 +136,7 @@ def main():
         import jax
 
         r, sps, pps, grid, tile_ids = parse()
-        slices = [
-            sl.parse_slice_header(
-                sl.split_length_prefixed_nals(r.get_item_data(t), 4)[0],
-                sps, pps,
-            )
-            for t in tile_ids
-        ]
+        slices = slices_of(r, sps, pps, tile_ids)
         t0 = time.perf_counter()
         outs = decode_reconstruct_overlapped(
             sps, pps, slices, readback=False, stats=stats
@@ -149,95 +144,58 @@ def main():
         jax.block_until_ready(outs)
         return time.perf_counter() - t0
 
-    # warmup + measure the DEVICE path first (readback-free): it is the
-    # production serving metric, and it must be captured before any D2H
-    # plane streaming exercises the tunnel. jit compile + page-fault
-    # warm-in (first-touch faults cost ~300us/page on these microVM
-    # hosts, see utils/hostmem.py) all land on the first call.
     import gc
 
-    t_w0 = time.perf_counter()
-    warm0 = decode_to_device_once()
-    warm_s = time.perf_counter() - t_w0
-    print(f"# device warmup (incl. compile): {warm_s:.1f}s", file=sys.stderr)
-    # the D2H channel kicker must be done before timing: its (possibly
-    # minutes-long) channel init serializes the tunnel client while in
-    # flight
-    kicker.join(timeout=300.0)
-    # time-boxed repeats, min-of-N: per-rep cost swings 3-5x with tunnel
-    # load, so more samples materially improve the captured best case
+    import jax as _jax
+
+    from heif_tpu.utils import oracle as _oracle
     from heif_tpu.utils.profiling import DecodeStats as _DS
 
-    # e2e warmup (flatten compile) before the measurement loop
-    t0 = time.perf_counter()
-    (y, cb, cr), stats0 = decode_once()
-    t1 = time.perf_counter() - t0
-    mp = (y.shape[0] * y.shape[1]) / 1e6
-    print(f"# e2e warm (incl. flatten compile): {t1:.1f}s", file=sys.stderr)
-
-    # INTERLEAVED measurement loop: this host's throughput (CPU and
-    # tunnel alike) swings 2-4x in multi-minute windows, so measuring
-    # the baseline once at the end made vs_baseline a lottery. Cycling
-    # device-rep / e2e-rep / libde265-rep for the whole budget gives
-    # every contender shots at the same windows; best-of-run each.
-    from heif_tpu.utils import oracle as _oracle
-
-    dev_times = [warm0]
-    dev_stats = []
-    times = []
-    all_stats = []
-    base_times = []
-    # ~2.5 min box: throughput windows on these hosts last minutes, so a
-    # short box sits entirely inside one (good or bad) window; a longer
-    # box spans several and best-of-run lands in the best one
-    from heif_tpu.ops.batch import decode_burst
+    r0, sps0, pps0, grid0, tids0 = parse()
+    mp = grid0.output_width * grid0.output_height / 1e6
 
     BURST_N = 4
 
     def burst_once():
         """Pipelined BURST_N-image decode-to-device; returns MP/s."""
-        import jax as _jax
-
         image_slices = []
         for _ in range(BURST_N):
             r_i, sps_i, pps_i, _, tids = parse()
-            image_slices.append(
-                [
-                    sl.parse_slice_header(
-                        sl.split_length_prefixed_nals(
-                            r_i.get_item_data(t), 4
-                        )[0],
-                        sps_i, pps_i,
-                    )
-                    for t in tids
-                ]
-            )
+            image_slices.append(slices_of(r_i, sps_i, pps_i, tids))
         t0 = time.perf_counter()
         out = decode_burst(sps_i, pps_i, image_slices)
         _jax.block_until_ready(out)
         return BURST_N * mp / (time.perf_counter() - t0)
 
+    # ================= PHASE 1: clean process, ZERO D2H =================
+    # The serving metrics (decode-to-device, burst, paired ratio) are
+    # measured before ANY device->host fetch: the tunneled runtime's
+    # first D2H permanently drops subsequent device-op throughput ~3x
+    # (see _kick_d2h_channel). Production serving processes never read
+    # planes back, so the clean-process numbers are the honest ones.
+    t_w0 = time.perf_counter()
+    warm0 = decode_to_device_once()
+    print(
+        f"# device warmup (incl. compile): "
+        f"{time.perf_counter() - t_w0:.1f}s",
+        file=sys.stderr,
+    )
+    _ = burst_once()  # burst program warmup
+
+    dev_times = [warm0]
+    dev_stats = []
+    base_times = []
     paired = []  # per-cycle baseline_t / device_t (same window)
     burst_rates = []
     t_box = time.perf_counter()
     cycle = 0
-    while time.perf_counter() - t_box < 150.0:
+    while time.perf_counter() - t_box < 110.0:
         gc.collect()
         ds = _DS()
         dev_t = decode_to_device_once(stats=ds)
         dev_times.append(dev_t)
         dev_stats.append(ds)
-        # e2e reps are readback-bound and burst reps are multi-image
-        # (seconds each in slow tunnel windows); alternating them leaves
-        # most of the budget to the paired device/baseline cycles that
-        # decide the headline, while still giving every metric shots at
-        # several throughput windows (best-of-run each)
-        if cycle % 2 == 0:
-            t0 = time.perf_counter()
-            _, stats = decode_once()
-            times.append(time.perf_counter() - t0)
-            all_stats.append(stats)
-        else:
+        if cycle % 2 == 1:
             burst_rates.append(burst_once())
         cycle += 1
         t0 = time.perf_counter()
@@ -249,37 +207,56 @@ def main():
         except Exception:
             pass
 
-    # burst steady state (BASELINE config-4 analog on one chip): N images
-    # decoded back-to-back through the pipelined multi-image path — host
-    # entropy of image k+1 overlaps pack/dispatch/device compute of image
-    # k, so the sustained rate is bound by host CPU work alone (the
-    # production serving rate, free of per-image dispatch tails). Each
-    # image is parsed and entropy-decoded from the file bytes honestly;
-    # reps were interleaved through the measurement box above so the
-    # burst sees the same throughput windows as the other metrics.
+    if dev_stats:
+        best_i = int(np.argmin([dev_times[1 + i] for i in range(len(dev_stats))]))
+        print(
+            f"# device-path stages: {dev_stats[best_i].summary()}",
+            file=sys.stderr,
+        )
+    dev_mp_s = round(mp / min(dev_times), 3)
+    print(
+        f"# decode-to-device (no host readback): {dev_mp_s} MP/s "
+        f"(best of {len(dev_times)})",
+        file=sys.stderr,
+    )
     if not burst_rates:
         burst_rates.append(burst_once())
     burst_mp_s = round(max(burst_rates), 3)
     print(
-        f"# burst steady state ({BURST_N} images pipelined, best of "
+        f"# burst ({BURST_N} images pipelined, best of "
         f"{len(burst_rates)} interleaved reps): {burst_mp_s} MP/s",
         file=sys.stderr,
     )
 
-    if dev_stats:
-        # stages come from the instrumented (pre-burst) reps only
-        pre = dev_times[1 : len(dev_stats) + 1]
-        ds = dev_stats[pre.index(min(pre))]
-        print(f"# device-path stages: {ds.summary()}", file=sys.stderr)
-    best = min(times)
-    stats = all_stats[times.index(best)]
-    print(f"# best {best:.3f}s  {stats.summary()}  ({mp:.1f} MP)", file=sys.stderr)
-
-    dev_mp_s = round(mp / min(dev_times), 3)
+    # ================= PHASE 2: readback (first D2H here) ===============
+    _kick_d2h_channel()  # one-time channel init, off the e2e clock
+    t0 = time.perf_counter()
+    (y, cb, cr), stats0 = decode_once()
     print(
-        f"# decode-to-device (no host readback): {dev_mp_s} MP/s",
+        f"# e2e warm (incl. flatten compile): "
+        f"{time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
     )
+    times = []
+    all_stats = []
+    t_box = time.perf_counter()
+    while time.perf_counter() - t_box < 45.0:
+        gc.collect()
+        t0 = time.perf_counter()
+        _, stats = decode_once()
+        times.append(time.perf_counter() - t0)
+        all_stats.append(stats)
+        t0 = time.perf_counter()
+        try:
+            _oracle.decode_heic_via_de265(data)
+            base_times.append(time.perf_counter() - t0)
+        except Exception:
+            pass
+
+    best = min(times)
+    stats = all_stats[times.index(best)]
+    print(f"# best e2e {best:.3f}s  {stats.summary()}  ({mp:.1f} MP)",
+          file=sys.stderr)
 
     base = mp / min(base_times) if base_times else baseline_mp_per_s(data, mp)
     if base is not None:
@@ -311,7 +288,6 @@ def main():
                     if paired
                     else None
                 ),
-                # sustained multi-image serving rate (8 back-to-back)
                 "burst_mp_s": burst_mp_s,
                 "burst_vs_baseline": (
                     round(burst_mp_s / base, 3) if base else None

@@ -364,9 +364,11 @@ def bench_replay_device(
 #   tables (one 64-row mask serving both constants): ~42-50 Mbins/s
 #   real — a 10-20% gain. The residual floor is the per-bin-step
 #   elementwise op count and Mosaic loop overhead, not memory masks.
-# Kept as the better engine variant and the validated rebasing
-# foundation (block-anchored readers are also what a future device-side
-# tape GENERATOR needs, since it cannot know bit positions in advance).
+# Kept as the faster replay variant. (The round-5 request GENERATOR,
+# ops/pallas_cabac_gen.py, ended up NOT needing block rebasing: its
+# per-lane bit funnel advances with the lane's own requests, so the
+# full-stream word fetch serves it directly — the negative result above
+# predicted exactly that the fetch width would not matter.)
 
 
 N_CTXP = N_CTX // 4  # packed context rows (4 slots of p|mps<<6 per word)
