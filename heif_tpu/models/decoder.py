@@ -400,13 +400,85 @@ class HeicDecoder:
         return planes
 
     @staticmethod
-    def decode_hevc(stream: bytes, backend: str = "ref") -> dict:
+    def _entropy_device_gen(sps, pps, ps):
+        """Entropy via the device-side residual request generator.
+
+        The host pass supplies the envelope (non-residual syntax and TU
+        markers); the Pallas engine decodes every residual-coding bin
+        from raw substream bytes and emits coefficients as events, which
+        are scattered into the planes reconstruction consumes — the
+        coefficients are genuinely device-decoded (the host's own
+        residual results are discarded and replaced). Interpret mode
+        (jit-compiled) runs the same kernel on CPU-only hosts.
+        """
+        import jax
+
+        from heif_tpu.cabac.envelope import (
+            build_envelope_tape,
+            envelope_trace,
+        )
+        from heif_tpu.ops import pallas_cabac_gen as G
+
+        if pps.tiles_enabled_flag:
+            raise NotImplementedError(
+                "device-gen entropy does not take tile-segmented "
+                "substreams yet"
+            )
+        tr = envelope_trace(sps, pps, ps)
+        rbsp = ps.rbsp if isinstance(ps.rbsp, bytes) else bytes(ps.rbsp)
+        entries = []
+        seg_spans = []
+        for si, seg in enumerate(tr.segments):
+            tape, n_steps = build_envelope_tape(tr, si)
+            entries.append((rbsp, seg, tape, n_steps))
+            seg_spans.append(
+                sorted(
+                    (sp for sp in tr.spans if sp.seg == si),
+                    key=lambda sp: sp.b0,
+                )
+            )
+        interpret = jax.devices()[0].platform != "tpu"
+        events, state = G.run_gen_batch(entries, interpret=interpret)
+        st = tr.syntax
+        # replace the host's residual results with the device's
+        st.coeffs = [np.zeros_like(p) for p in st.coeffs]
+        for lane, spans in enumerate(seg_spans):
+            G.scatter_events(events[:, lane], spans, st.coeffs)
+        # belt and braces: the engines must also agree on final ctx state
+        for lane, seg in enumerate(tr.segments):
+            if not (
+                np.array_equal(
+                    (state[:, lane] & 63).astype(np.uint8), seg.p_final
+                )
+                and np.array_equal(
+                    ((state[:, lane] >> 6) & 1).astype(np.uint8),
+                    seg.mps_final,
+                )
+            ):
+                raise ValueError(
+                    f"device-gen entropy desync in substream {lane}"
+                )
+        return st
+
+    @staticmethod
+    def decode_hevc(
+        stream: bytes, backend: str = "ref", entropy: str = "auto"
+    ) -> dict:
         """Decode a raw single-picture HEVC Annex-B intra stream.
 
         Exceeds the reference (which only decodes NALs embedded in HEIF
         containers): accepts bare `.hevc` byte streams such as x265
         output, used by the bitstream fixture matrix. Returns
         {"Y", "Cb", "Cr"} uint8 planes.
+
+        entropy: "auto" (native C++ when available, Python twin
+        otherwise) or "device-gen" — the Pallas residual request
+        generator (ops.pallas_cabac_gen): the device derives and decodes
+        every residual-coding bin itself from raw substream bytes plus
+        the envelope tape, and the coefficient planes fed to
+        reconstruction come from device-emitted events. (The envelope —
+        quadtree/modes/cbf — still comes from a host pass today; see the
+        generator module docstring for the staged boundary.)
         """
         from heif_tpu.hevc import params
         from heif_tpu.hevc import slice as sl
@@ -437,7 +509,9 @@ class HeicDecoder:
                 or ps.header.slice_sao_chroma_flag
             ):
                 backend = "ref"
-        if native.available():
+        if entropy == "device-gen":
+            st = HeicDecoder._entropy_device_gen(sps, pps, ps)
+        elif native.available():
             # the native twin handles 8/10-bit, 4:0:0/4:2:0, and
             # tiles_enabled_flag=1 (tile-scan CTU order + §6.4.1
             # availability; verified bit-exact vs the Python twin by the

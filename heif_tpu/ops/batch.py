@@ -678,8 +678,12 @@ _pallas_broken = False
 
 def _pallas_ok(bp: BatchPlan) -> bool:
     """Pallas intra path: real TPU only, no PCM tiles (XLA path covers
-    those), standard tile geometry."""
+    those), and plane geometries whose aligned VMEM windows fit (small
+    pictures fall back to the XLA scan path; see
+    pallas_intra.geometry_ok)."""
     import os
+
+    from heif_tpu.ops import pallas_intra as PI
 
     if _pallas_broken:
         return False
@@ -690,6 +694,11 @@ def _pallas_ok(bp: BatchPlan) -> bool:
         # which is integer-exact only for 8-bit references
         return False
     if any(p is not None for p in bp.pcm):
+        return False
+    if not (
+        PI.geometry_ok(bp.height, bp.width)
+        and PI.geometry_ok(bp.height // 2, bp.width // 2)
+    ):
         return False
     try:
         return jax.devices()[0].platform == "tpu"

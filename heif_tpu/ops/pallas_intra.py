@@ -71,6 +71,39 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def geometry_ok(h: int, w: int) -> bool:
+    """True when the aligned-superset windows of the intra kernels stay
+    inside the padded plane allocations for an (h, w) component plane.
+
+    Every VMEM access here loads an (8, WIN) / (RMW_R, RMW_C) superset
+    anchored at (r//8*8, c//128*128); on small planes those windows run
+    past the allocation (e.g. WIN=192 over a 32-wide chroma plane's
+    wp=128), which Mosaic does not bounds-check — decodes of small
+    pictures through the Pallas path were silently wrong on real TPU
+    (caught by the device-gen entropy path validation, round 5). The
+    XLA scan path covers rejected geometries.
+    """
+    hp = _round_up(1 + h + SPAD, 8)
+    wp = _round_up(1 + w + SPAD, 128)
+    hpT = hp if hp % 128 == 0 else _round_up(hp, 128)
+    # TU origins satisfy 0 <= t < dim - 3 (min TU size 4); strips anchor
+    # at the origin, RMWs at origin + 1
+    rmax_s, cmax_s = h - 4, w - 4
+    rmax_m, cmax_m = h - 3, w - 3
+
+    def fits(r, c, rows, cols, H, W):
+        return (r // 8) * 8 + rows <= H and (c // 128) * 128 + cols <= W
+
+    return (
+        # plane (hp, wp): top strips + block RMW/load
+        fits(rmax_s, cmax_s, 8, WIN, hp, wp)
+        and fits(rmax_m, cmax_m, RMW_R, RMW_C, hp, wp)
+        # transposed plane (wp, hpT): left strips + transposed RMW
+        and fits(cmax_s, rmax_s, 8, WIN, wp, hpT)
+        and fits(cmax_m, rmax_m, RMW_R, RMW_C, wp, hpT)
+    )
+
+
 N_REF_PAD = 256  # lane-aligned padded ref-vector length
 
 

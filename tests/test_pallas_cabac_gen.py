@@ -118,6 +118,28 @@ class TestResidualGenerator:
         n_res, n_all = _roundtrip_gen(64, 64, 35, {"wpp": "0"})
         assert n_res > 0.3 * n_all
 
+    def test_decode_path_device_gen_entropy(self):
+        """The generator as a DECODE PATH: decode_hevc(entropy=
+        "device-gen") reconstructs from device-emitted coefficients and
+        must be bit-exact vs libde265 (the host's own residual results
+        are discarded before reconstruction)."""
+        from heif_tpu.utils import oracle
+
+        rng = np.random.default_rng(9)
+        y = np.full((32, 32), 120, np.uint8)
+        y[:16, :16] = rng.integers(0, 256, (16, 16))
+        cb = np.full((16, 16), 90, np.uint8)
+        cr = np.full((16, 16), 150, np.uint8)
+        stream = x265enc.encode_i_frame(
+            y, cb, cr, qp=28, options={"wpp": "0", "ctu": "16"}
+        )
+        want = oracle.decode_hevc_annexb(stream)
+        got = HeicDecoder.decode_hevc(
+            stream, backend="ref", entropy="device-gen"
+        )
+        for c, k in enumerate(("Y", "Cb", "Cr")):
+            assert np.array_equal(got[k], want[c]), k
+
     @pytest.mark.slow
     def test_qp_low_dense_coeffs(self):
         _roundtrip_gen(64, 64, 12, {"wpp": "0"})

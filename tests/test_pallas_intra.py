@@ -120,3 +120,22 @@ def test_pallas_chroma2_interpret_bit_exact(halfmoonbay_bytes):
     for i in range(n):
         assert (cb[i] == refs[i][0]).all(), f"tile {i} Cb differs"
         assert (cr[i] == refs[i][1]).all(), f"tile {i} Cr differs"
+
+
+def test_geometry_gate():
+    """Small planes whose aligned VMEM windows overrun the padded
+    allocation must be rejected (they silently decoded WRONG on real
+    TPU — caught by the device-gen entropy validation, round 5); the
+    production geometries must stay on the Pallas path."""
+    from heif_tpu.ops.pallas_intra import geometry_ok
+
+    # flagship tile luma/chroma, aux item mono luma/dummy chroma
+    for h, w in ((512, 512), (256, 256), (1512, 2016), (756, 1008)):
+        assert geometry_ok(h, w), (h, w)
+    # small fixtures: chroma (and some luma) windows overrun
+    for h, w in ((32, 32), (48, 80), (96, 160)):
+        assert not geometry_ok(h, w), (h, w)
+
+    # the batch gate requires BOTH the luma and the half-size chroma
+    # geometry, so a 64x64 picture (chroma 32x32) takes the XLA path
+    assert geometry_ok(64, 64) and not geometry_ok(32, 32)
