@@ -125,8 +125,15 @@ def mux_heic(
     primary = grid_id if grid else tile_ids[0]
 
     # --- iprp ---
-    w = sps.pic_width_in_luma_samples
-    h = sps.pic_height_in_luma_samples
+    # ispe carries the DISPLAY size: coded dims minus the SPS
+    # conformance window (offsets are in chroma units for 4:2:0)
+    sub = 2 if sps.chroma_format_idc == 1 else 1
+    w = sps.pic_width_in_luma_samples - sub * (
+        sps.conf_win_left_offset + sps.conf_win_right_offset
+    )
+    h = sps.pic_height_in_luma_samples - sub * (
+        sps.conf_win_top_offset + sps.conf_win_bottom_offset
+    )
     props = []  # 1-based order in ipco
     props.append(_full(b"ispe", 0, 0, struct.pack(">II", w, h)))  # 1: tile
     props.append(_box(b"hvcC", _hvcc(vps, sps_nals, pps, sps)))  # 2

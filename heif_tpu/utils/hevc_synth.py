@@ -211,7 +211,12 @@ def write_sps(
     pcm: bool = True,
     pcm_log2: int = 5,
     pcm_bd: int = 8,
+    conf_win: tuple[int, int, int, int] | None = None,
 ) -> bytes:
+    """conf_win: (left, right, top, bottom) conformance-window offsets
+    in chroma units (§7.4.3.2.1; luma crop = 2x for 4:2:0). x265 never
+    emits nonzero left/top offsets, so synthesized streams are the only
+    way to exercise that crop-origin path."""
     w = BitWriter()
     w.bits(0, 4)  # sps_video_parameter_set_id
     w.bits(0, 3)  # max_sub_layers_minus1
@@ -221,7 +226,12 @@ def write_sps(
     w.ue(1)  # chroma_format_idc 4:2:0
     w.ue(width)
     w.ue(height)
-    w.bit(0)  # conformance_window
+    if conf_win:
+        w.bit(1)  # conformance_window_flag
+        for v in conf_win:
+            w.ue(v)
+    else:
+        w.bit(0)  # conformance_window
     w.ue(0)  # bit_depth_luma_minus8
     w.ue(0)  # bit_depth_chroma_minus8
     w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
@@ -300,7 +310,8 @@ def write_pps(tiles: tuple[int, int] | None = None) -> bytes:
 
 
 def synthesize_pcm_stream(
-    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, nal_type: int = 20
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, nal_type: int = 20,
+    conf_win: tuple[int, int, int, int] | None = None,
 ) -> bytes:
     """All-PCM I-picture: every 32x32 CTU is one PCM block whose samples
     are taken verbatim from the given 8-bit planes. Returns Annex-B.
@@ -358,7 +369,7 @@ def synthesize_pcm_stream(
 
     return (
         _nal(32, write_vps())
-        + _nal(33, write_sps(wd, h))
+        + _nal(33, write_sps(wd, h, conf_win=conf_win))
         + _nal(34, write_pps())
         + _nal(nal_type, w.tobytes())
     )

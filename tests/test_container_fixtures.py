@@ -184,6 +184,33 @@ def test_nonsquare_jax_backend():
         assert np.array_equal(out[k], ref[c]), k
 
 
+def test_conformance_window_left_top_offsets():
+    """Nonzero LEFT/TOP conformance-window offsets: the crop origin must
+    come from the SPS window even when an ispe property provides the
+    output size (advisor round-4 finding — x265 never emits left/top
+    offsets, so this needs a synthesized stream). PCM content makes the
+    expected pixels exactly the input planes."""
+    from heif_tpu.utils.hevc_synth import synthesize_pcm_stream
+
+    rng = np.random.default_rng(11)
+    y = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+    cb = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    cr = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    # offsets in chroma units: luma crop = (left 4, right 2, top 6, bot 0)
+    stream = synthesize_pcm_stream(y, cb, cr, conf_win=(2, 1, 3, 0))
+    heic = mux_heic([stream])  # muxer ispe = cropped 90x58
+
+    from heif_tpu.models.decoder import HeicDecoder as HD
+
+    info = HD.probe(heic)
+    assert (info.ispe_width, info.ispe_height) == (90, 58)
+    out = HD.decode(heic, apply_rotation=False)
+    assert out["Y"].shape == (58, 90)
+    assert np.array_equal(out["Y"], y[6:64, 4:94])
+    assert np.array_equal(out["Cb"], cb[3:32, 2:47])
+    assert np.array_equal(out["Cr"], cr[3:32, 2:47])
+
+
 def test_backend_downgrade_recorded():
     """Tiles pictures now ride the fast path (native tile-scan entropy +
     tile-aware jax recon, round-4 missing #3); the one remaining
