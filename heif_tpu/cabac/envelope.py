@@ -22,15 +22,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from heif_tpu.cabac.engine import CTX_OFFSET
 from heif_tpu.cabac.syntax import TileSyntaxDecoder
-from heif_tpu.cabac.trace import (
-    KIND_BYPASS,
-    KIND_CTX,
-    KIND_PAD,
-    KIND_TERMINATE,
-    TracingCabacEngine,
-)
+from heif_tpu.cabac.trace import TracingCabacEngine
 
 KIND_TU = 4  # envelope-tape marker: device generates the TU's residual
 
@@ -56,7 +49,8 @@ class ResidualSpan:
 class EnvelopeTrace:
     segments: list = field(default_factory=list)  # TraceSegments (full)
     spans: list = field(default_factory=list)  # ResidualSpans, decode order
-    syntax = None  # SyntaxTensors of the host decode (golden coeffs)
+    # SyntaxTensors of the host decode (golden coefficient planes)
+    syntax: object = None
 
 
 class _RecordingDecoder(TileSyntaxDecoder):

@@ -427,36 +427,30 @@ class HeicDecoder:
         tr = envelope_trace(sps, pps, ps)
         rbsp = ps.rbsp if isinstance(ps.rbsp, bytes) else bytes(ps.rbsp)
         entries = []
-        seg_spans = []
         for si, seg in enumerate(tr.segments):
             tape, n_steps = build_envelope_tape(tr, si)
-            entries.append((rbsp, seg, tape, n_steps))
-            seg_spans.append(
-                sorted(
-                    (sp for sp in tr.spans if sp.seg == si),
-                    key=lambda sp: sp.b0,
-                )
+            spans = sorted(
+                (sp for sp in tr.spans if sp.seg == si),
+                key=lambda sp: sp.b0,
             )
+            entries.append((rbsp, seg, tape, n_steps, spans))
         interpret = jax.devices()[0].platform != "tpu"
-        events, state = G.run_gen_batch(entries, interpret=interpret)
+        # gen_image batches 128 lanes at a time (tall WPP pictures and
+        # PCM restarts can exceed one batch of segments)
+        results = G.gen_image(entries, interpret=interpret)
         st = tr.syntax
         # replace the host's residual results with the device's
         st.coeffs = [np.zeros_like(p) for p in st.coeffs]
-        for lane, spans in enumerate(seg_spans):
-            G.scatter_events(events[:, lane], spans, st.coeffs)
-        # belt and braces: the engines must also agree on final ctx state
-        for lane, seg in enumerate(tr.segments):
+        for ei, (events_col, p_fin, mps_fin) in enumerate(results):
+            _, seg, _, _, spans = entries[ei]
+            G.scatter_events(events_col, spans, st.coeffs)
+            # belt and braces: the engines must agree on final ctx state
             if not (
-                np.array_equal(
-                    (state[:, lane] & 63).astype(np.uint8), seg.p_final
-                )
-                and np.array_equal(
-                    ((state[:, lane] >> 6) & 1).astype(np.uint8),
-                    seg.mps_final,
-                )
+                np.array_equal(p_fin, seg.p_final)
+                and np.array_equal(mps_fin, seg.mps_final)
             ):
                 raise ValueError(
-                    f"device-gen entropy desync in substream {lane}"
+                    f"device-gen entropy desync in substream {ei}"
                 )
         return st
 

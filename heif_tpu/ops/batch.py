@@ -1513,7 +1513,9 @@ def decode_burst(
     image_slice_lists: one list of parsed slices per image (all sharing
     sps/pps geometry). Returns a list (per image) of lists (per chunk) of
     [y, cb, cr] device arrays; call jax.block_until_ready on the result
-    to wait for the last image.
+    to wait for the last image. NOTE: an image's last chunk is padded to
+    `chunk` tiles by repeating the final tile — consumers slicing per
+    image must trim to its true tile count.
     """
     import time as _time
     from concurrent.futures import ThreadPoolExecutor

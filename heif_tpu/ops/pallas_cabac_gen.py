@@ -46,7 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from heif_tpu.cabac import engine as E
 from heif_tpu.cabac.envelope import KIND_TU
-from heif_tpu.cabac.trace import KIND_BYPASS, KIND_CTX, KIND_PAD
+from heif_tpu.cabac.trace import (
+    KIND_BYPASS,
+    KIND_CTX,
+    KIND_PAD,
+    KIND_TERMINATE,
+)
 from heif_tpu.hevc.scans import scan_order, scan_pos_of
 
 LANES = 128
@@ -63,6 +68,10 @@ _B_G2 = E.CTX_OFFSET["g2"]
 # phases
 P_TAPE, P_LXP, P_LYP, P_LXS, P_LYS, P_CSBF, P_SIG, P_G1, P_G2, \
     P_SIGN, P_REMP, P_REMS, P_FLUSH = range(13)
+
+# lane register count (engine 0..5 + state machine 6..38; see the
+# register-file map inside _kernel)
+NREG = 39
 
 # §9.3.4.2.5 4x4 sig ctx map, packed 4 bits per entry into two words
 # (values wrap through int32 — the kernel reads them with logical shifts)
@@ -85,8 +94,7 @@ def _sb_tables() -> tuple[np.ndarray, np.ndarray]:
     inv = np.zeros(3 * 4 * 64, np.int32)
     for scan in range(3):
         for lg in range(4):  # log2 size 2..5 -> sb side 1,2,4,8
-            sb = 1 << max(lg - 0, 0)
-            sb = (1 << (lg + 2)) >> 2
+            sb = 1 << lg  # subblocks per side for log2 size lg+2
             so = scan_order(sb, scan)
             po = scan_pos_of(sb, scan)
             base = scan * 256 + lg * 64
@@ -214,7 +222,6 @@ def _kernel(tbl_ref, sbtab_ref, cotab_ref, words_ref, tape_ref, c0_ref,
     # 26 prevg1  27 g2  28 g1bits  29 g1cov  30 signbits  31 hidden
     # 32 firstsig  33 rice  34 sumabs  35 rembase  36 remmask
     # 37 rempfx  38 tuseq
-    NREG = 39
 
     @pl.when(k == 0)
     def _init():
@@ -254,7 +261,7 @@ def _kernel(tbl_ref, sbtab_ref, cotab_ref, words_ref, tape_ref, c0_ref,
         bin_t = (off >= rng_t).astype(jnp.int32)
         is_ctx = (kind == KIND_CTX).astype(jnp.int32)
         is_byp = (kind == KIND_BYPASS).astype(jnp.int32)
-        is_trm = (kind == 2).astype(jnp.int32)
+        is_trm = (kind == KIND_TERMINATE).astype(jnp.int32)
         offb = jnp.where(is_ctx > 0, off_ctx, off)
         rngf = jnp.where(
             is_ctx > 0, rng_ctx, jnp.where(is_trm > 0, rng_t, rng)
@@ -708,8 +715,7 @@ def _kernel(tbl_ref, sbtab_ref, cotab_ref, words_ref, tape_ref, c0_ref,
 
         nr[18] = sel(has_rem, rem_first, nr[18])
         nr[35] = sel(has_rem, coeff_base(rem_first), nr[35])
-        nr[9] = sel(has_rem, 0, cnt)
-        cnt = jnp.where(has_rem > 0, 0, cnt)
+        cnt = jnp.where(has_rem > 0, 0, cnt)  # nr[9] takes cnt below
         phase_u = sel(has_rem, P_REMP, phase_u)
         flush_entry = rem_entry * (rem_first < 0).astype(jnp.int32)
 
@@ -848,7 +854,6 @@ def _kernel(tbl_ref, sbtab_ref, cotab_ref, words_ref, tape_ref, c0_ref,
         dbg_ref[0, pl.ds(g * 4, 4), :] = jnp.concatenate(dbgs, axis=0)
         return tuple(rr)
 
-    NREG = 39
     carry = tuple(regs[j : j + 1] for j in range(NREG))
     carry = lax.fori_loop(0, blk // 4, group, carry)
     for j in range(NREG):
@@ -857,6 +862,9 @@ def _kernel(tbl_ref, sbtab_ref, cotab_ref, words_ref, tape_ref, c0_ref,
 
 
 def _gen_call(B, W, S_env, S_steps, blk, interpret):
+    # the kernel unrolls steps in groups of 4; a non-multiple blk would
+    # silently skip the trailing steps of every block
+    assert blk % 4 == 0, f"blk must be a multiple of 4, got {blk}"
     n_blocks = S_steps // blk
     kernel = partial(_kernel, blk=blk, n_words=W, s_env=S_env)
     return pl.pallas_call(
@@ -889,15 +897,21 @@ def _gen_call(B, W, S_env, S_steps, blk, interpret):
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _tbl_device():
     return jnp.asarray(np.broadcast_to(_TBL[:, None], (256, LANES)).copy())
 
 
+@lru_cache(maxsize=1)
 def _sbtab_device():
     t = np.concatenate([_SB_FWD, _SB_INV])
     return jnp.asarray(np.broadcast_to(t[:, None], (1536, LANES)).copy())
 
 
+@lru_cache(maxsize=1)
 def _cotab_device():
     t = np.concatenate([_CO_FWD, _CO_INV])
     return jnp.asarray(np.broadcast_to(t[:, None], (96, LANES)).copy())
@@ -934,11 +948,15 @@ def pack_gen_batch(entries):
     }
 
 
-def run_gen_batch(entries, blk: int = 128, interpret: bool = False):
+def run_gen_batch(entries, blk: int = 128, interpret: bool = False,
+                  debug: bool = False):
     """Run the generator engine on <=128 streams.
 
     entries: (rbsp, TraceSegment, envelope_tape, n_steps) per lane.
-    Returns (events [S_steps, 128], ctx_final [N_CTX, 128])."""
+    Returns (events [S_steps, 128], ctx_final [N_CTX, 128]). With
+    debug=True the per-step request/bin/phase plane is ALSO fetched and
+    kept on run_gen_batch.last_dbg (a [S_steps,128] D2H as large as the
+    event plane — off the production path by default)."""
     p = pack_gen_batch(entries)
     S_steps = -(-p["S_steps"] // blk) * blk
     call = _gen_call(1, p["W"], p["S_env"], S_steps, blk, interpret)
@@ -956,7 +974,8 @@ def run_gen_batch(entries, blk: int = 128, interpret: bool = False):
         jnp.asarray(p["c0"][None]),
     )
     out = (np.asarray(ev)[0], np.asarray(state)[0])
-    run_gen_batch.last_dbg = np.asarray(dbg)[0]
+    if debug:
+        run_gen_batch.last_dbg = np.asarray(dbg)[0]
     return out
 
 
