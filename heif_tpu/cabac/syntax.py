@@ -140,6 +140,17 @@ class TileSyntaxDecoder:
                 (a % self.ctbs_x, a // self.ctbs_x)
                 for a in range(self.ctbs_x * self.ctbs_y)
             ]
+            if (
+                pps.entropy_coding_sync_enabled_flag
+                and self.ctbs_y > 1
+                and len(self.substreams) < self.ctbs_y
+            ):
+                # WPP indexes substreams by CTB row; a malformed header
+                # with too few entry points must fail loudly up front
+                raise DecodeError(
+                    f"slice header has {len(self.substreams)} substream(s)"
+                    f" for {self.ctbs_y} WPP rows"
+                )
 
         # engine
         self.engine = CabacEngine(self.rbsp, *self.substreams[0])
@@ -985,7 +996,9 @@ class TileSyntaxDecoder:
                     prefix = 0
                     while eng.decode_bypass():
                         prefix += 1
-                        if prefix > 40:
+                        if prefix > 31:
+                            # conformant levels are 16-bit; both twins
+                            # reject longer prefixes as desync
                             raise DecodeError("remaining prefix overflow")
                     if prefix < 3:
                         rem = (prefix << rice) + (

@@ -448,9 +448,14 @@ struct Engine {
 
   inline int decode_tr_bypass(int cmax) { return decode_bypass_unary(cmax); }
 
+  bool bypass_overflow = false;  // set on corrupt EGk prefixes
+
   inline uint32_t decode_egk_bypass(int k) {
     int prefix = decode_bypass_unary(32);
-    if (prefix > 31) return 0;  // corrupt; caller detects via desync
+    if (prefix > 31) {  // corrupt stream: fail loudly, like the twin
+      bypass_overflow = true;
+      return 0;
+    }
     uint32_t value = prefix + k ? decode_bypass_bits(prefix + k) : 0;
     return (((1u << prefix) - 1) << k) + value;
   }
@@ -465,6 +470,7 @@ struct Decoder {
   TileOutput* O;
   Engine eng;
   const uint8_t* rbsp;
+  int64_t rbsp_len = 0;    // validated bound for substream byte ranges
   const int32_t* sub_off;  // [n_sub*2] byte ranges
   int n_sub;
 
@@ -583,6 +589,16 @@ struct Decoder {
     bool tiles = n_tcols > 0;
     if (tiles && P->wpp) return 1;  // tiles+WPP unsupported (loud)
     if (tiles && n_sub < n_tcols * n_trows) return 1;
+    // WPP indexes sub_off by CTB row; tiles validated above. Malformed
+    // slice headers (too few entry points) must fail loudly, and every
+    // byte range must stay inside the rbsp buffer (corrupt entry-point
+    // offsets would otherwise drive the bit reader out of bounds).
+    if (!tiles && P->wpp && ctbs_y > 1 && n_sub < ctbs_y) return 1;
+    if (n_sub < 1) return 1;
+    for (int i = 0; i < n_sub; i++) {
+      int64_t s0 = sub_off[2 * i], s1 = sub_off[2 * i + 1];
+      if (s0 < 0 || s1 < s0 || s1 > rbsp_len) return 1;
+    }
     eng.data = rbsp;
     eng.seek((int64_t)sub_off[0] * 8, (int64_t)sub_off[1] * 8);
     if (!eng.start()) return 1;
@@ -1009,6 +1025,10 @@ struct Decoder {
     int prefix = 1;
     while (prefix < 5 && eng.decode_bin(CTX_CU_QP_DELTA + 1)) prefix++;
     int val = prefix == 5 ? prefix + (int)eng.decode_egk_bypass(0) : prefix;
+    if (eng.bypass_overflow) {
+      error = true;
+      return;
+    }
     if (val > 0 && eng.decode_bypass()) val = -val;
     cu_qp_delta_val = val;
   }
@@ -1228,8 +1248,11 @@ struct Decoder {
         }
         int level = base;
         if (base == limit) {
-          int prefix = eng.decode_bypass_unary(41);
-          if (prefix > 40) {
+          // prefix > 31 cannot occur on conformant streams (levels
+          // are 16-bit); larger values would overflow the shift below,
+          // so both twins reject them as desync
+          int prefix = eng.decode_bypass_unary(32);
+          if (prefix > 31) {
             error = true;
             return;
           }
@@ -1238,8 +1261,8 @@ struct Decoder {
             rem = (prefix << rice) + (rice ? (int)eng.decode_bypass_bits(rice) : 0);
           } else {
             int nbits = prefix - 3 + rice;
-            int suffix = (int)eng.decode_bypass_bits(nbits);
-            rem = (((1 << (prefix - 3)) + 2) << rice) + suffix;
+            int64_t suffix = (int64_t)eng.decode_bypass_bits(nbits);
+            rem = (int)((((1ll << (prefix - 3)) + 2) << rice) + suffix);
           }
           level = base + rem;
           if (level > (3 << rice) && rice < 4) rice++;
@@ -1270,7 +1293,7 @@ struct Decoder {
 extern "C" {
 
 // returns 0 ok, 1 stream desync, 2 unsupported chroma format
-int heif_entropy_decode_tile(const uint8_t* rbsp, int32_t /*rbsp_len*/,
+int heif_entropy_decode_tile(const uint8_t* rbsp, int32_t rbsp_len,
                              const int32_t* substream_offsets,
                              int32_t n_substreams, const TileParams* params,
                              TileOutput* out) {
@@ -1278,6 +1301,7 @@ int heif_entropy_decode_tile(const uint8_t* rbsp, int32_t /*rbsp_len*/,
   d.P = params;
   d.O = out;
   d.rbsp = rbsp;
+  d.rbsp_len = rbsp_len;
   d.sub_off = substream_offsets;
   d.n_sub = n_substreams;
   *out->tu_count = 0;
@@ -1288,7 +1312,7 @@ int heif_entropy_decode_tile(const uint8_t* rbsp, int32_t /*rbsp_len*/,
 // tile_row_bd/[n_tile_rows+1] are the CTB boundaries of §6.5.1 (PPS
 // tile geometry); substream i is tile i's byte range. Same returns.
 int heif_entropy_decode_tile_tiled(
-    const uint8_t* rbsp, int32_t /*rbsp_len*/,
+    const uint8_t* rbsp, int32_t rbsp_len,
     const int32_t* substream_offsets, int32_t n_substreams,
     const TileParams* params, const int32_t* tile_col_bd,
     int32_t n_tile_cols, const int32_t* tile_row_bd, int32_t n_tile_rows,
@@ -1297,6 +1321,7 @@ int heif_entropy_decode_tile_tiled(
   d.P = params;
   d.O = out;
   d.rbsp = rbsp;
+  d.rbsp_len = rbsp_len;
   d.sub_off = substream_offsets;
   d.n_sub = n_substreams;
   d.tile_col_bd = tile_col_bd;

@@ -354,9 +354,10 @@ def _finish_plan(
 ):
     Hc, Wc = H // 2, W // 2
     # ---- PCM sample planes ----
-    any_pcm = any(
-        st.pcm_planes and st.pcm_planes[0].any() for st in syntaxes
-    )
+    # presence comes from the PCM block map, NOT from sample values: a
+    # pure-black PCM block (all-zero luma samples) is still PCM and must
+    # ship its planes (and keep the Pallas path, which skips PCM, off)
+    any_pcm = any(st.pcm_map.any() for st in syntaxes)
     pcm = []
     for c in range(3):
         h = H if c == 0 else Hc
@@ -740,13 +741,9 @@ def schedule_hints(rec, sps, pps, n_tiles: int) -> dict:
     # pipelining pays — use smaller chunks so the first device dispatch
     # starts earlier. (mss <= 4 declares no sub-picture bound: the
     # formula only drops below PicSize/2 past idc 4.)
-    chunk = 16
-    if mss > 4:
-        pic_px = (sps.pic_width_in_luma_samples
-                  * sps.pic_height_in_luma_samples)
-        seg = 4 * pic_px // (mss + 4)
-        if seg <= pic_px // 2:
-            chunk = 8
+    # idc > 4 bounds segments to at most 4*PicSize/9 < PicSize/2 luma
+    # samples — real sub-picture segmentation, so finer pipelining pays
+    chunk = 16 if mss <= 4 else 8
     return {
         "chunk": chunk,
         "entropy_workers": workers,
@@ -1171,6 +1168,13 @@ def _dispatch_core(bp: BatchPlan):
     global _pallas_broken
 
     b16, b32, b8, pcm_blob, layout = _bundle_plan(bp)
+    # the bundle blobs come from the double-buffered host pool and get
+    # REWRITTEN two chunks later. On TPU, jnp.asarray copies at enqueue
+    # (the transfer serializes the bytes immediately); the CPU backend
+    # may ZERO-COPY alias the numpy buffer instead, so a later chunk's
+    # rewrite would corrupt an in-flight chunk's input — copy there.
+    if jax.default_backend() == "cpu":
+        b16, b32, b8 = b16.copy(), b32.copy(), b8.copy()
     db16 = jnp.asarray(b16)
     db32 = jnp.asarray(b32)
     db8 = jnp.asarray(b8)

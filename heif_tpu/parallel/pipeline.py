@@ -147,8 +147,9 @@ def pack_uniform(
 
     # PCM sample planes: shipped only when some tile actually contains PCM
     # blocks (pcm_flag content is rare); zero-filled on device otherwise.
-    if any(p.pcm_planes and any(pl_.any() for pl_ in p.pcm_planes)
-           for p in plans):
+    # PCM presence from the block maps, not sample values (an all-zero
+    # PCM block is still PCM; see ops.batch._finish_plan)
+    if any(st.pcm_map.any() for st in syntaxes):
         for c in range(3):
             hh = H if c == 0 else Hc
             ww = W if c == 0 else Wc
