@@ -118,6 +118,40 @@ class TestResidualGenerator:
         n_res, n_all = _roundtrip_gen(64, 64, 35, {"wpp": "0"})
         assert n_res > 0.3 * n_all
 
+    @pytest.mark.slow
+    def test_main10(self):
+        """Main-10 through the generator: residual_coding() is
+        bit-depth-independent in HEVC v1, so 10-bit streams must
+        round-trip the device state machine unchanged."""
+        if not x265enc.available(10):
+            pytest.skip("libx265 lacks a 10-bit encoder")
+        from heif_tpu.ops import pallas_cabac_gen as G  # noqa: F401
+
+        rng = np.random.default_rng(17)
+        y = rng.integers(0, 1024, (64, 64)).astype(np.uint16)
+        cb = rng.integers(0, 1024, (32, 32)).astype(np.uint16)
+        cr = rng.integers(0, 1024, (32, 32)).astype(np.uint16)
+        stream = x265enc.encode_i_frame(
+            y, cb, cr, qp=30, bit_depth=10, options={"wpp": "0"}
+        )
+        sps, pps, ps = _parse(stream)
+        tr = envelope_trace(sps, pps, ps)
+        rbsp = bytes(ps.rbsp)
+        entries, seg_spans = [], []
+        for si, seg in enumerate(tr.segments):
+            tape, n_steps = build_envelope_tape(tr, si)
+            entries.append((rbsp, seg, tape, n_steps))
+            seg_spans.append(sorted(
+                (sp for sp in tr.spans if sp.seg == si),
+                key=lambda sp: sp.b0,
+            ))
+        events, state = G.run_gen_batch(entries, blk=64, interpret=True)
+        planes = [np.zeros_like(p) for p in tr.syntax.coeffs]
+        for lane, spans in enumerate(seg_spans):
+            G.scatter_events(events[:, lane], spans, planes)
+        for c in range(3):
+            assert np.array_equal(planes[c], tr.syntax.coeffs[c]), c
+
     def test_decode_path_device_gen_entropy(self):
         """The generator as a DECODE PATH: decode_hevc(entropy=
         "device-gen") reconstructs from device-emitted coefficients and
