@@ -90,3 +90,42 @@ def test_bitflip_fuzz_never_crashes(seed):
 
         assert not isinstance(e, DecodeError), e
         assert "entropy decode failed" not in str(e), e
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_slice_header_fuzz_native_bounds(seed, halfmoonbay_bytes):
+    """Bit flips in a REAL tile's slice header (which carries the WPP
+    entry-point offsets) must surface as structured errors from the
+    native entropy front end — never OOB reads or crashes. Exercises the
+    round-5 substream-range and WPP-count validation in entropy.cpp."""
+    from heif_tpu import native
+    from heif_tpu.cabac.syntax import DecodeError
+    from heif_tpu.hevc import params
+    from heif_tpu.hevc import slice as sl
+    from heif_tpu.hevc.rbsp import remove_emulation_prevention
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    r = HeifReader(halfmoonbay_bytes)
+    heif = r.read()
+    rec = heif.hevc_configuration_record()
+    sps = params.parse_sps(
+        remove_emulation_prevention(rec.nal_units_of_type(33)[0][2:])
+    )
+    pps = params.parse_pps(
+        remove_emulation_prevention(rec.nal_units_of_type(34)[0][2:])
+    )
+    nal = sl.split_length_prefixed_nals(r.get_item_data(1), 4)[0]
+    rng = np.random.default_rng(seed)
+    for _ in range(16):
+        buf = bytearray(nal)
+        # the slice header (incl. 15 entry-point offsets) occupies the
+        # first ~40 bytes; flip bits there
+        pos = int(rng.integers(2, 40))
+        buf[pos] ^= 1 << int(rng.integers(8))
+        try:
+            ps = sl.parse_slice_header(bytes(buf), sps, pps)
+            native.decode_tile_native(sps, pps, ps)
+        except (ValueError, DecodeError, NotImplementedError):
+            pass  # structured rejection is the required outcome
+        # clean decodes are fine too (the flip may land in ignored bits)
