@@ -65,16 +65,26 @@ def cmd_decode(args) -> int:
 
     stats = DecodeStats()
     stats.n_devices = args.mesh or 1
+    data = _read(args.file)
+    is_annexb = data[4:8] != b"ftyp"
     t0 = time.perf_counter()
     with device_trace(getattr(args, "trace", False)):
-        planes = HeicDecoder.decode(
-            _read(args.file),
-            backend=args.backend,
-            mesh_devices=args.mesh,
-            isolate_tile_errors=args.isolate_errors,
-            item_id=args.item,
-            stats=stats,
-        )
+        if is_annexb:
+            # raw Annex-B .hevc stream (no container); --entropy selects
+            # the front end incl. the device residual generator
+            planes = HeicDecoder.decode_hevc(
+                data, backend=args.backend,
+                entropy=getattr(args, "entropy", "auto"),
+            )
+        else:
+            planes = HeicDecoder.decode(
+                data,
+                backend=args.backend,
+                mesh_devices=args.mesh,
+                isolate_tile_errors=args.isolate_errors,
+                item_id=args.item,
+                stats=stats,
+            )
     dt = time.perf_counter() - t0
     y = planes["Y"]
     mp = y.size / 1e6
@@ -183,6 +193,12 @@ def main(argv=None) -> int:
     pd.add_argument(
         "--isolate-errors", action="store_true",
         help="corrupt tiles decode as gray instead of failing the image",
+    )
+    pd.add_argument(
+        "--entropy", default="auto", choices=["auto", "device-gen"],
+        help="entropy front end for raw .hevc inputs: auto (native C++ "
+             "/ Python twin) or device-gen (the Pallas residual request "
+             "generator decodes every residual bin on the TPU)",
     )
     pd.add_argument("--stats", action="store_true",
                     help="print per-stage decode stats JSON to stderr")
