@@ -152,6 +152,33 @@ class TestResidualGenerator:
         for c in range(3):
             assert np.array_equal(planes[c], tr.syntax.coeffs[c]), c
 
+    @pytest.mark.slow
+    def test_decode_path_device_gen_wpp(self):
+        """decode_hevc(entropy="device-gen") on a WPP stream: the
+        decoder routes through gen_image's lane batching across
+        multiple substream segments."""
+        from heif_tpu.utils import oracle
+
+        rng = np.random.default_rng(23)
+        y = rng.integers(0, 256, (160, 64)).astype(np.uint8)
+        y = (y // 3 + np.linspace(0, 120, 64, dtype=np.int32)[None, :]
+             ).astype(np.uint8)
+        cb = rng.integers(0, 256, (80, 32)).astype(np.uint8)
+        cr = rng.integers(0, 256, (80, 32)).astype(np.uint8)
+        stream = x265enc.encode_i_frame(
+            y, cb, cr, qp=32, options={"ctu": "16"}
+        )
+        # the stream must actually carry WPP substreams
+        sps, pps, ps = _parse(stream)
+        assert pps.entropy_coding_sync_enabled_flag
+        assert len(ps.substream_ranges()) > 1
+        want = oracle.decode_hevc_annexb(stream)
+        got = HeicDecoder.decode_hevc(
+            stream, backend="ref", entropy="device-gen"
+        )
+        for c, k in enumerate(("Y", "Cb", "Cr")):
+            assert np.array_equal(got[k], want[c]), k
+
     def test_decode_path_device_gen_entropy(self):
         """The generator as a DECODE PATH: decode_hevc(entropy=
         "device-gen") reconstructs from device-emitted coefficients and
